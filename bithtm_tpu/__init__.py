@@ -1,0 +1,45 @@
+"""bithtm_tpu: a TPU-native Hierarchical Temporal Memory framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+cokwa/bitHTM (SpatialPooler + TemporalMemory + HierarchicalTemporalMemory,
+`bithtm/__init__.py:1-6` in the reference): functional state pytrees,
+static padded synapse pools, MXU overlap matmuls, vmap-batched streams
+under lax.scan, and mesh sharding for multi-chip scale.
+
+Two API surfaces:
+  * functional: `htm_init` / `htm_step` / `htm_scan` (+ sp_/tm_ variants)
+  * object-style convenience wrappers mirroring the reference class names:
+    `HierarchicalTemporalMemory`, `SpatialPooler`, `TemporalMemory`.
+"""
+
+from .config import (
+    HTMConfig,
+    SPConfig,
+    TMConfig,
+    make_htm_config,
+    make_tm_config,
+)
+from .state import (
+    HTMState,
+    SPState,
+    TMState,
+    htm_init,
+    htm_init_batch,
+    sp_init,
+    tm_init,
+)
+from .models.htm import HTMOutput, htm_scan, htm_step, htm_step_batch
+from .models.spatial_pooler import SPOutput, sp_step
+from .models.temporal_memory import TMOutput, tm_step
+from .networks import HierarchicalTemporalMemory, SpatialPooler, TemporalMemory
+
+__all__ = [
+    "HTMConfig", "SPConfig", "TMConfig", "make_htm_config", "make_tm_config",
+    "HTMState", "SPState", "TMState",
+    "htm_init", "htm_init_batch", "sp_init", "tm_init",
+    "htm_step", "htm_step_batch", "htm_scan", "HTMOutput",
+    "sp_step", "SPOutput", "tm_step", "TMOutput",
+    "HierarchicalTemporalMemory", "SpatialPooler", "TemporalMemory",
+]
+
+__version__ = "0.1.0"

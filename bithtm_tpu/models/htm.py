@@ -1,0 +1,92 @@
+"""HierarchicalTemporalMemory: composition + batched/scanned drivers.
+
+`htm_step` mirrors `HierarchicalTemporalMemory.process`
+(`networks.py:146-149`): SP then TM, single stream. Throughput on TPU
+comes from `htm_step_batch` (vmap over independent streams — the
+reference processes exactly one stream) and `htm_scan` (lax.scan over the
+sequential timestep recurrence, `networks.py:57,127`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import HTMConfig
+from ..state import HTMState
+from .spatial_pooler import SPOutput, sp_step
+from .temporal_memory import TMOutput, tm_step
+
+
+class HTMOutput(NamedTuple):
+    sp: SPOutput
+    tm: TMOutput
+    metrics: dict
+
+
+def _step_metrics(cfg: HTMConfig, sp_out: SPOutput, tm_out: TMOutput) -> dict:
+    """The driver-loop metrics of `example.py:50-57`: correct columns =
+    previously-predicted columns that became active; incorrect = the rest
+    of the previously-predicted; plus the standard HTM anomaly score."""
+    C, D = cfg.column_dim, cfg.cell_dim
+    prev_col_pred = tm_out.prev_prediction.reshape(C, D).any(axis=1)
+    corrects = (prev_col_pred & sp_out.active_mask).sum(dtype=jnp.int32)
+    incorrects = prev_col_pred.sum(dtype=jnp.int32) - corrects
+    burstings = tm_out.bursting_columns.sum(dtype=jnp.int32)
+    anomaly = burstings.astype(jnp.float32) / cfg.sp.active_columns
+    return {
+        "bursting": burstings,
+        "correct": corrects,
+        "incorrect": incorrects,
+        "anomaly": anomaly,
+        **tm_out.metrics,
+    }
+
+
+def htm_step(
+    cfg: HTMConfig,
+    state: HTMState,
+    input_bits: jnp.ndarray,
+    learning: bool = True,
+) -> tuple[HTMState, HTMOutput]:
+    """One full timestep for a single stream. `learning` is jit-static."""
+    key, sub = jax.random.split(state.key)
+    with jax.named_scope("sp"):
+        sp_state, sp_out = sp_step(cfg.sp, state.sp, input_bits, learning)
+    with jax.named_scope("tm"):
+        tm_state, tm_out = tm_step(
+            cfg.tm, state.tm, sub, sp_out.active_mask, learning=learning
+        )
+    new_state = HTMState(sp=sp_state, tm=tm_state, key=key)
+    return new_state, HTMOutput(sp_out, tm_out, _step_metrics(cfg, sp_out, tm_out))
+
+
+def htm_step_batch(cfg, state, input_bits, learning=True):
+    """Batched step: state pytree and inputs carry a leading stream axis.
+    Streams are fully independent (pure data parallelism)."""
+    return jax.vmap(
+        lambda s, x: htm_step(cfg, s, x, learning)
+    )(state, input_bits)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
+def htm_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
+             learning: bool = True):
+    """Scan a [T, ...] (or [T, B, ...] batched) input sequence through the
+    recurrence. Carry is donated: the synapse pool updates in place.
+
+    Returns (final_state, per-step metrics dict of [T]-leading arrays).
+    """
+    batched = inputs.ndim == 3
+
+    def body(carry, x):
+        if batched:
+            new_state, out = htm_step_batch(cfg, carry, x, learning)
+        else:
+            new_state, out = htm_step(cfg, carry, x, learning)
+        return new_state, out.metrics
+
+    return jax.lax.scan(body, state, inputs)

@@ -1,0 +1,56 @@
+"""Functional SpatialPooler.
+
+Pipeline mirrors `SpatialPooler.process` (`networks.py:26-35`):
+overlaps -> boosting -> global inhibition -> (if learning) Hebbian
+proximal update; the boosting duty-cycle EMA updates even when
+learning=False (`networks.py:33`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import SPConfig
+from ..ops.overlap import overlaps as _overlaps
+from ..ops.regularization import boost, duty_cycle_update, k_winners
+from ..state import SPState
+
+
+class SPOutput(NamedTuple):
+    """Mirrors `SpatialPooler.State` (`networks.py:8-12`), with the
+    active-column set carried both as indices and as a dense mask."""
+
+    active_columns: jnp.ndarray   # (k,) int32 top-k column indices
+    active_mask: jnp.ndarray      # (C,) bool
+    overlaps: jnp.ndarray         # (C,) int32
+    boosted_overlaps: jnp.ndarray # (C,) float32
+
+
+def sp_step(cfg: SPConfig, state: SPState, input_bits: jnp.ndarray,
+            learning: bool) -> tuple[SPState, SPOutput]:
+    """One SP timestep for a single stream. `learning` is jit-static."""
+    ov = _overlaps(state.connected, input_bits)
+    boosted = boost(ov, state.duty_cycle, cfg.boosting_intensity, cfg.density)
+    active_columns, active_mask = k_winners(boosted, cfg.active_columns)
+
+    permanence = state.permanence
+    connected = state.connected
+    if learning:
+        # Hebbian update on the k active rows only (`projections.py:23-24`):
+        # delta = input * (inc + dec) - dec.
+        delta = input_bits.astype(jnp.float32) * (
+            cfg.permanence_increment + cfg.permanence_decrement
+        ) - cfg.permanence_decrement
+        new_rows = permanence[active_columns] + delta[None, :]
+        permanence = permanence.at[active_columns].set(new_rows)
+        connected = connected.at[active_columns].set(
+            (new_rows >= cfg.permanence_threshold).astype(jnp.int8)
+        )
+
+    duty = duty_cycle_update(state.duty_cycle, active_mask,
+                             cfg.duty_cycle_momentum)
+    new_state = SPState(permanence=permanence, connected=connected,
+                        duty_cycle=duty)
+    return new_state, SPOutput(active_columns, active_mask, ov, boosted)

@@ -1,0 +1,98 @@
+"""Object-style wrappers mirroring the reference public API.
+
+The reference exposes stateful classes with `.process(...)` methods
+(`networks.py:7-149`). These wrappers hold the functional state pytree
+and call the jitted functional step, so a user of the reference can
+switch with minimal friction:
+
+    htm = HierarchicalTemporalMemory(1000, 2048, 32)
+    sp_state, tm_state = htm.process(input_bits)
+
+Under the hood everything is the functional API (`htm_step` etc.); for
+throughput use that directly with `htm_scan`/`htm_step_batch`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import HTMConfig, SPConfig, make_htm_config, make_tm_config
+from .models.htm import htm_step
+from .models.spatial_pooler import sp_step
+from .models.temporal_memory import tm_step
+from .state import htm_init, sp_init, tm_init
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _jit_htm_step(cfg, state, x, learning):
+    return htm_step(cfg, state, x, learning)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _jit_sp_step(cfg, state, x, learning):
+    return sp_step(cfg, state, x, learning)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _jit_tm_step(cfg, state, key, active_mask, learning):
+    return tm_step(cfg, state, key, active_mask, learning=learning)
+
+
+class SpatialPooler:
+    """Stateful wrapper over `sp_step` (reference `networks.py:7-35`)."""
+
+    def __init__(self, input_dim, column_dim, active_columns, seed=0,
+                 **overrides):
+        self.config = SPConfig(input_dim=input_dim, column_dim=column_dim,
+                               active_columns=active_columns, **overrides)
+        self.active_columns = active_columns
+        self.state = sp_init(jax.random.key(seed), self.config)
+
+    def process(self, input_bits, learning=True):
+        x = jnp.asarray(np.asarray(input_bits), jnp.bool_)
+        self.state, out = _jit_sp_step(self.config, self.state, x, learning)
+        return out
+
+
+class TemporalMemory:
+    """Stateful wrapper over `tm_step` (reference `networks.py:38-128`)."""
+
+    def __init__(self, column_dim, cell_dim, active_columns=None, seed=0,
+                 **overrides):
+        if active_columns is None:
+            active_columns = round(column_dim * 0.02)
+        self.config = make_tm_config(column_dim, cell_dim, active_columns,
+                                     **overrides)
+        self.state = tm_init(self.config)
+        self.key = jax.random.key(seed)
+
+    def process(self, sp_output, learning=True):
+        self.key, sub = jax.random.split(self.key)
+        self.state, out = _jit_tm_step(
+            self.config, self.state, sub, sp_output.active_mask, learning
+        )
+        return out
+
+
+class HierarchicalTemporalMemory:
+    """Stateful wrapper over `htm_step` (reference `networks.py:131-149`)."""
+
+    def __init__(self, input_dim, column_dim, cell_dim, active_columns=None,
+                 seed=0, **tm_overrides):
+        self.config: HTMConfig = make_htm_config(
+            input_dim, column_dim, cell_dim, active_columns, **tm_overrides
+        )
+        self.column_dim = column_dim
+        self.cell_dim = cell_dim
+        self.active_columns = self.config.sp.active_columns
+        self.state = htm_init(jax.random.key(seed), self.config)
+
+    def process(self, input_bits, learning=True):
+        x = jnp.asarray(np.asarray(input_bits), jnp.bool_)
+        self.state, out = _jit_htm_step(self.config, self.state, x, learning)
+        self.last_metrics = {k: np.asarray(v) for k, v in out.metrics.items()}
+        return out.sp, out.tm
