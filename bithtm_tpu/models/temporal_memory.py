@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..config import TMConfig
 from ..ops.growth import allocate_segments, grow_synapses
-from ..ops.masked import compact_mask
+from ..ops.masked import compact_mask, gather_or
 from ..ops.segment import segment_forward
 from ..state import TMState
 
@@ -172,8 +172,7 @@ def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
     # active synapse -punishment (projections.py:283-293). The two sets
     # are disjoint (winner cells are in active columns), so one fused
     # masked update is exact.
-    act_syn = jnp.take(prev_active, synapse_cell, mode="fill",
-                       fill_value=False)
+    act_syn = gather_or(prev_active, synapse_cell, False)
     live = synapse_cell >= 0
     delta = (
         learning_seg[None, :]
@@ -195,7 +194,7 @@ def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
         prev_winner, cfg.max_winner_cells, N
     )
     n_winners = prev_winner.sum(dtype=jnp.int32)
-    synapse_cell, synapse_perm, grown, grow_overflow = grow_synapses(
+    synapse_cell, synapse_perm, grown, grow_overflow, grown_mask = grow_synapses(
         key, synapse_cell, synapse_perm,
         learn_idx, learn_valid, winner_idx, winner_valid, n_winners,
         prev_active, N, cfg.segment_sampling_synapses,
@@ -224,7 +223,7 @@ def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
         new_segment_cells=un_cells,
         new_segment_valid=assign_valid,
         grown_cell=synapse_cell,
-        grown_mask=jnp.zeros_like(synapse_cell, jnp.bool_),
+        grown_mask=grown_mask,
     )
     return synapse_cell, synapse_perm, owner, metrics, debug
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .masked import slot_fill
+from .masked import gather_or, slot_fill
 
 
 def allocate_segments(
@@ -88,7 +88,7 @@ def grow_synapses(
 
     row_cell = jnp.take(synapse_cell, learn_idx, axis=1, mode="clip")  # (K, L)
     row_perm = jnp.take(synapse_perm, learn_idx, axis=1, mode="clip")
-    act_syn = jnp.take(prev_active, row_cell, mode="fill", fill_value=False)
+    act_syn = gather_or(prev_active, row_cell, False)
     row_potential = act_syn.sum(axis=0, dtype=jnp.int32)               # (L,)
     n_grow = jnp.clip(
         sampling_synapses - row_potential,
@@ -103,7 +103,7 @@ def grow_synapses(
         .at[winner_idx]
         .set(jnp.arange(W, dtype=jnp.int32), mode="drop")
     )
-    syn_slot = jnp.take(cell_to_slot, row_cell, mode="fill", fill_value=W)
+    syn_slot = gather_or(cell_to_slot, row_cell, W)
     l_ids = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (K, L))
     pri = pri.at[l_ids, syn_slot].set(jnp.inf, mode="drop")
     pri = jnp.where(winner_valid[None, :], pri, jnp.inf)
@@ -128,4 +128,8 @@ def grow_synapses(
     synapse_cell = synapse_cell.at[:, cols].set(new_rows_cell.T, mode="drop")
     synapse_perm = synapse_perm.at[:, cols].set(new_rows_perm.T, mode="drop")
     grown = wrote.sum(axis=1) * learn_valid
-    return synapse_cell, synapse_perm, grown, (overflow * learn_valid).sum()
+    wrote_full = (
+        jnp.zeros((K, S), jnp.bool_).at[:, cols].set(wrote.T, mode="drop")
+    )
+    return (synapse_cell, synapse_perm, grown,
+            (overflow * learn_valid).sum(), wrote_full)

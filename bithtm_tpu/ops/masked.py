@@ -19,6 +19,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def gather_or(values: jnp.ndarray, idx: jnp.ndarray, fill):
+    """`values[idx]` with *any* out-of-range index (negative sentinels
+    included) yielding `fill`. Plain `jnp.take(mode="fill")` only fills
+    for indices beyond the upper bound — negatives wrap."""
+    taken = jnp.take(values, idx, mode="fill", fill_value=fill)
+    return jnp.where(idx >= 0, taken, fill)
+
+
 def compact_mask(mask: jnp.ndarray, size: int, fill_value: int):
     """Indices of True entries of a 1-D mask, ascending, padded to `size`.
 

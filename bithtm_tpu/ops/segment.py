@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .masked import gather_or
+
 
 def segment_counts(
     synapse_cell: jnp.ndarray,   # (K, S) int32, -1 = dead slot
@@ -33,7 +35,7 @@ def segment_counts(
     `connected_count` additionally requires perm >= permanence_threshold
     (`projections.py:171-172`).
     """
-    act = jnp.take(active_mask, synapse_cell, mode="fill", fill_value=False)
+    act = gather_or(active_mask, synapse_cell, False)
     potential = act.sum(axis=0, dtype=jnp.int32)
     connected = (act & (synapse_perm >= permanence_threshold)).sum(
         axis=0, dtype=jnp.int32

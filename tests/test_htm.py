@@ -1,0 +1,118 @@
+"""End-to-end HTM behavior: learning convergence, scan/loop equivalence,
+stream independence under vmap — the semantics of the reference driver
+loop (`example.py:48-67`)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bithtm_tpu import (
+    htm_init,
+    htm_init_batch,
+    htm_scan,
+    htm_step,
+    htm_step_batch,
+    make_htm_config,
+)
+
+
+def small_cfg(**kw):
+    base = dict(
+        input_dim=64,
+        column_dim=64,
+        cell_dim=4,
+        active_columns=4,
+        segment_activation_threshold=2,
+        segment_matching_threshold=2,
+        segment_sampling_synapses=8,
+    )
+    base.update(kw)
+    return make_htm_config(**base)
+
+
+def test_learning_converges():
+    """Bursting falls and correct predictions rise on a repeated
+    sequence (the reference's convergence eyeball, example.py:55-65)."""
+    cfg = small_cfg()
+    state = htm_init(jax.random.key(0), cfg)
+    rng = np.random.RandomState(0)
+    pats = rng.rand(6, cfg.input_dim) < 0.2
+    step = jax.jit(functools.partial(htm_step, cfg), static_argnums=(2,))
+    first_epoch, last_epoch = None, None
+    for epoch in range(10):
+        tot_burst, tot_correct = 0, 0
+        for p in pats:
+            state, out = step(state, jnp.asarray(p), True)
+            tot_burst += int(out.metrics["bursting"])
+            tot_correct += int(out.metrics["correct"])
+        if epoch == 0:
+            first_epoch = (tot_burst, tot_correct)
+        last_epoch = (tot_burst, tot_correct)
+    assert last_epoch[0] < first_epoch[0], "bursting should fall"
+    assert last_epoch[1] > first_epoch[1], "corrects should rise"
+    assert last_epoch[1] >= 3 * len(pats)  # most columns predicted
+
+
+def test_scan_equals_python_loop():
+    cfg = small_cfg()
+    rng = np.random.RandomState(1)
+    seq = jnp.asarray(rng.rand(12, cfg.input_dim) < 0.2)
+
+    state_a = htm_init(jax.random.key(7), cfg)
+    step = jax.jit(functools.partial(htm_step, cfg), static_argnums=(2,))
+    metrics_loop = []
+    for x in seq:
+        state_a, out = step(state_a, x, True)
+        metrics_loop.append(int(out.metrics["bursting"]))
+
+    state_b = htm_init(jax.random.key(7), cfg)
+    state_b, metrics = htm_scan(cfg, state_b, seq, True)
+
+    np.testing.assert_array_equal(
+        np.asarray(metrics["bursting"]), metrics_loop
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        jax.device_get(state_a.tm),
+        jax.device_get(state_b.tm),
+    )
+
+
+def test_batched_streams_are_independent():
+    """Stream i of a batched run must equal a solo run with the same key."""
+    cfg = small_cfg()
+    B = 3
+    batch_state = htm_init_batch(jax.random.key(42), cfg, B)
+    solo_state = jax.tree_util.tree_map(lambda x: x[1], batch_state)
+    rng = np.random.RandomState(2)
+    seq = jnp.asarray(rng.rand(8, B, cfg.input_dim) < 0.2)
+    final_batch, _ = htm_scan(cfg, batch_state, seq, True)
+    final_solo, _ = htm_scan(cfg, solo_state, seq[:, 1], True)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a)[1], np.asarray(b)
+        ),
+        jax.device_get(final_batch.tm),
+        jax.device_get(final_solo.tm),
+    )
+
+
+def test_inference_mode_frozen_graph():
+    cfg = small_cfg()
+    state = htm_init(jax.random.key(3), cfg)
+    rng = np.random.RandomState(3)
+    seq = jnp.asarray(rng.rand(10, cfg.input_dim) < 0.2)
+    state, _ = htm_scan(cfg, state, seq, True)
+    before = jax.device_get(state)
+    state2, _ = htm_scan(cfg, state, seq, False)
+    after = jax.device_get(state2)
+    np.testing.assert_array_equal(before.tm.synapse_perm,
+                                  after.tm.synapse_perm)
+    np.testing.assert_array_equal(before.tm.segment_owner,
+                                  after.tm.segment_owner)
+    np.testing.assert_array_equal(before.sp.permanence, after.sp.permanence)

@@ -1,0 +1,91 @@
+"""SpatialPooler parity vs direct NumPy evaluation of the reference
+semantics (`projections.py:6-24`, `regularizations.py:4-29`,
+`networks.py:26-35`). SP forward/update is RNG-free given fixed
+permanences, so these checks are exact."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bithtm_tpu import SPConfig, sp_init, sp_step
+
+
+@pytest.fixture
+def cfg():
+    return SPConfig(input_dim=80, column_dim=96, active_columns=7)
+
+
+def numpy_sp_step(cfg, perm, duty, x, learning):
+    """Straight NumPy transcription of SURVEY.md §2 semantics 1-4."""
+    weight = perm >= cfg.permanence_threshold
+    overlaps = (weight & x).sum(axis=1)
+    factor = np.exp(-(cfg.boosting_intensity / cfg.density) * duty)
+    boosted = factor.astype(np.float32) * overlaps.astype(np.float32)
+    # lax.top_k tie-break: by descending value then ascending index
+    order = np.lexsort((np.arange(len(boosted)), -boosted))
+    active = np.sort(order[: cfg.active_columns])
+    if learning:
+        perm = perm.copy()
+        delta = x * (cfg.permanence_increment + cfg.permanence_decrement) \
+            - cfg.permanence_decrement
+        perm[active] += delta
+    duty = duty * cfg.duty_cycle_momentum
+    duty = duty.copy()
+    duty[active] += 1.0 - cfg.duty_cycle_momentum
+    return perm, duty, overlaps, active
+
+
+def test_sp_matches_numpy_trajectory(cfg):
+    state = sp_init(jax.random.key(0), cfg)
+    perm = np.asarray(state.permanence, np.float64)
+    duty = np.zeros(cfg.column_dim, np.float32)
+    rng = np.random.RandomState(1)
+    for t in range(30):
+        x = rng.rand(cfg.input_dim) < 0.25
+        learning = t % 3 != 2
+        state, out = sp_step(cfg, state, jnp.asarray(x), learning)
+        perm, duty, overlaps, active = numpy_sp_step(
+            cfg, perm, duty, x, learning
+        )
+        np.testing.assert_array_equal(np.asarray(out.overlaps), overlaps)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(out.active_columns)), active
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.permanence), perm, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.duty_cycle), duty, atol=1e-5
+        )
+        # cached connection matrix stays consistent with permanences
+        np.testing.assert_array_equal(
+            np.asarray(state.connected),
+            (np.asarray(state.permanence) >= cfg.permanence_threshold)
+            .astype(np.int8),
+        )
+
+
+def test_sp_inference_does_not_touch_permanence(cfg):
+    state = sp_init(jax.random.key(2), cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(cfg.input_dim) < 0.3)
+    new_state, _ = sp_step(cfg, state, x, False)
+    np.testing.assert_array_equal(
+        np.asarray(state.permanence), np.asarray(new_state.permanence)
+    )
+    # duty cycle updates even without learning (networks.py:33)
+    assert not np.array_equal(
+        np.asarray(state.duty_cycle), np.asarray(new_state.duty_cycle)
+    )
+
+
+def test_boosting_prefers_quiet_columns(cfg):
+    # A column with high duty cycle must lose against an equal-overlap
+    # column with zero duty (regularizations.py:16).
+    state = sp_init(jax.random.key(3), cfg)
+    duty = np.zeros(cfg.column_dim, np.float32)
+    duty[:50] = 0.5
+    state = state.replace(duty_cycle=jnp.asarray(duty))
+    x = jnp.ones(cfg.input_dim, bool)  # all columns same input
+    _, out = sp_step(cfg, state, x, False)
+    assert (np.asarray(out.active_columns) >= 50).all()
