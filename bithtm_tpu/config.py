@@ -6,11 +6,13 @@ defaults (`projections.py:7-10,205-223`, `regularizations.py:5-7`,
 hashable jit-static arguments; array shapes derived from them are static,
 which is what XLA's compilation model requires.
 
-Capacity fields (``segment_capacity``, ``synapse_capacity``,
-``max_learning_segments``, ``max_winner_cells``, ``max_new_segments``) have
-no reference counterpart: the reference grows its tables dynamically
-(`utils.py:79-135`). A TPU-native build pre-allocates padded tables and
-treats growth as masked writes (see `bithtm_tpu/models/temporal_memory.py`).
+Capacity fields (``segments_per_column``, ``synapse_capacity``) have no
+reference counterpart: the reference grows its tables dynamically
+(`utils.py:79-135`). The TPU build pre-allocates a **per-column** padded
+segment pool (see `bithtm_tpu/models/temporal_memory.py`): slot
+``(c, g)`` can only host segments of column ``c``'s cells, which turns
+every per-cell reduction into a scatter-free one-hot over ``cell_dim``
+and keeps all learning compacted to the ``active_columns`` rows.
 """
 
 from __future__ import annotations
@@ -54,18 +56,21 @@ class TMConfig:
     """TemporalMemory hyperparameters.
 
     Algorithmic defaults mirror `projections.py:205-223`. Capacity fields
-    are new (static-shape pools replacing `DynamicArray2D` growth).
+    are new (static per-column pools replacing `DynamicArray2D` growth).
+    `active_columns` is here too: the recurrent active/winner-set state
+    is stored compactly as exactly-A column lists (SP inhibition always
+    picks a fixed top-k), which sizes static arrays.
     """
 
     column_dim: int
     cell_dim: int
+    active_columns: int
 
     # Static pool capacities (TPU-native; no reference counterpart).
-    segment_capacity: int = 0        # S: total segment slots in the pool
-    synapse_capacity: int = 0        # K: synapse slots per segment
-    max_learning_segments: int = 0   # L: compaction width for learning segments
-    max_winner_cells: int = 0        # W: compaction width for prev winner cells
-    max_new_segments: int = 0        # U: max segments allocated per step
+    segments_per_column: int = 16   # G: segment slots per column
+    synapse_capacity: int = 48      # K: synapse slots per segment
+    winner_capacity: int = 0        # W: growth-candidate list width
+                                    # (0 = auto: min(A * D, 128))
 
     # Distal permanence dynamics (projections.py:205-219).
     permanence_initial: float = 0.21
@@ -84,6 +89,28 @@ class TMConfig:
     @property
     def num_cells(self) -> int:
         return self.column_dim * self.cell_dim
+
+    @property
+    def segment_capacity(self) -> int:
+        """Total pool slots S = C * G; global slot id = c * G + g."""
+        return self.column_dim * self.segments_per_column
+
+    @property
+    def cell_words(self) -> int:
+        """uint32 words per per-column cell bitmask."""
+        return (self.cell_dim + 31) // 32
+
+    @property
+    def resolved_winner_capacity(self) -> int:
+        """Static width of the synapse-growth candidate list (previous
+        winner cells, ascending cell id; overflow dropped + counted).
+        Winners are ~1 per active column in steady state, so the 128
+        default never truncates in practice while keeping the growth
+        top-k/match ops an order of magnitude smaller than the full
+        A*D grid."""
+        if self.winner_capacity:
+            return self.winner_capacity
+        return min(self.active_columns * self.cell_dim, 128)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,40 +135,19 @@ def make_tm_config(
     column_dim: int,
     cell_dim: int,
     active_columns: int,
-    *,
-    segment_capacity: int | None = None,
-    synapse_capacity: int | None = None,
-    max_learning_segments: int | None = None,
-    max_winner_cells: int | None = None,
-    max_new_segments: int | None = None,
     **overrides,
 ) -> TMConfig:
     """Build a TMConfig with TPU-friendly derived capacities.
 
-    Capacity heuristics: the reference's pool at the default 2048x32 config
-    stabilises around one segment per (column, pattern-context); 8 segment
-    slots per column is generous. Learning touches at most a few segments
-    per active column per step; winner cells are ~1 per active column in
-    steady state with headroom for multi-predicted columns.
+    Capacity heuristics: at the reference's default 2048x32 workload the
+    pool stabilises around a few segments per (column, pattern-context);
+    16 slots per column is generous. 48 synapse slots = 32 sampled
+    (`projections.py:223`) + headroom for accumulation across contexts.
     """
-    if segment_capacity is None:
-        segment_capacity = _round_up(column_dim * 8, 128)
-    if synapse_capacity is None:
-        synapse_capacity = 48  # 32 sampled (projections.py:223) + headroom
-    if max_learning_segments is None:
-        max_learning_segments = max(32, 4 * active_columns)
-    if max_winner_cells is None:
-        max_winner_cells = max(32, 8 * active_columns)
-    if max_new_segments is None:
-        max_new_segments = max(8, active_columns)
     return TMConfig(
         column_dim=column_dim,
         cell_dim=cell_dim,
-        segment_capacity=segment_capacity,
-        synapse_capacity=synapse_capacity,
-        max_learning_segments=max_learning_segments,
-        max_winner_cells=max_winner_cells,
-        max_new_segments=max_new_segments,
+        active_columns=active_columns,
         **overrides,
     )
 

@@ -58,7 +58,7 @@ def htm_step(
         sp_state, sp_out = sp_step(cfg.sp, state.sp, input_bits, learning)
     with jax.named_scope("tm"):
         tm_state, tm_out = tm_step(
-            cfg.tm, state.tm, sub, sp_out.active_mask, learning=learning
+            cfg.tm, state.tm, sub, sp_out.active_columns, learning=learning
         )
     new_state = HTMState(sp=sp_state, tm=tm_state, key=key)
     return new_state, HTMOutput(sp_out, tm_out, _step_metrics(cfg, sp_out, tm_out))

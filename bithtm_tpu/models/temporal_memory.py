@@ -2,8 +2,8 @@
 
 Re-implements the semantics of `TemporalMemory.process`
 (`networks.py:91-128`) + `PredictiveProjection.process/update`
-(`projections.py:245-293`) over a static padded synapse pool, in the
-order the reference executes them:
+(`projections.py:245-293`) over a static **per-column** padded synapse
+pool, in the order the reference executes them:
 
   1. bursting from previous prediction            (`networks.py:96-97`)
   2. winner-cell selection (best-matching / least-used, jittered
@@ -14,10 +14,30 @@ order the reference executes them:
   4. activation (predicted | bursting)             (`networks.py:115-119`)
   5. distal forward pass -> next prediction        (`networks.py:121-127`)
 
-All masks are dense; compaction to static widths happens only where the
-reference builds O(active) index lists (learning segments, winner cells,
-new segments). Capacity overflows are dropped and surfaced as metrics
-instead of reallocating (the reference grows arrays, `utils.py:113-135`).
+TPU-native design (why this looks nothing like the reference):
+  * No arbitrary-index gather/scatter anywhere — those run on the TPU
+    scalar core at ~10 cycles/element. The active/winner cell sets ride
+    as exactly-A compact column lists + cell bitmasks, so "is this
+    synapse's target active?" is an A-wide vectorized compare
+    (`ops/active_set.synapse_activation`), and all per-cell segment
+    reductions are one-hot over the D axis.
+  * Full-table arrays stay **flat (C, G*K)** — the 3D view's 48-wide
+    minor dim would tile-pad to 128 lanes, costing a 2.7x relayout copy
+    per materialization. Per-segment reductions/broadcasts on the full
+    table go through a constant block matrix on the MXU
+    (`ops/active_set.seg_reduce_counts` / `seg_broadcast`).
+  * All learning mutation is compacted to the A active-column rows
+    (winner cells and learning segments only exist there), where 3D
+    shapes are tiny; the only full-table learning op is the punishment
+    decrement, a pure elementwise pass.
+  * No sorts in the hot path: active columns are sorted once per step
+    (A-wide), growth sampling uses pairwise rank counts over the
+    narrow candidate axis, and segment allocation is deterministic
+    rank-pairing.
+
+Capacity overflows (per-column pool or synapse rows full) are dropped
+and surfaced as metrics instead of reallocating (the reference grows
+arrays, `utils.py:113-135`).
 """
 
 from __future__ import annotations
@@ -28,9 +48,20 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TMConfig
-from ..ops.growth import allocate_segments, grow_synapses
-from ..ops.masked import compact_mask, gather_or
-from ..ops.segment import segment_forward
+from ..ops.active_set import (
+    argmax_onehot,
+    column_mask_from_cols,
+    compact_first_k,
+    pack_bits,
+    percell_max,
+    percell_sum,
+    rank_ascending,
+    seg_broadcast,
+    seg_reduce_counts,
+    synapse_activation,
+    take_percell,
+    unpack_bits,
+)
 from ..state import TMState
 
 
@@ -51,264 +82,423 @@ class TMDebug(NamedTuple):
     `bithtm_tpu/oracle`): every RNG-dependent choice the step made."""
 
     winner_mask: jnp.ndarray       # (N,) bool
-    learning_segments: jnp.ndarray # (S,) bool (incl. newly allocated)
-    punished_segments: jnp.ndarray # (S,) bool
-    new_segment_slots: jnp.ndarray # (U,) int32 slot per unaccounted cell
-    new_segment_cells: jnp.ndarray # (U,) int32 owner cell per new slot
-    new_segment_valid: jnp.ndarray # (U,) bool
-    grown_cell: jnp.ndarray        # (K, S) int32 synapse targets post-growth
-    grown_mask: jnp.ndarray        # (K, S) bool which slots were grown
+    learning_segments: jnp.ndarray # (C, G) bool (incl. newly allocated)
+    punished_segments: jnp.ndarray # (C, G) bool
+    new_segments: jnp.ndarray      # (C, G) bool newly allocated this step
+    grown_mask: jnp.ndarray        # (C, G, K) bool slots grown this step
+    synapse_cell: jnp.ndarray      # (C, G, K) int32 post-step targets
+    seg_cell: jnp.ndarray          # (C, G) int32 post-step owners
 
 
 def _winner_selection(cfg: TMConfig, state: TMState, key: jax.Array,
-                      active_col_mask: jnp.ndarray):
-    """Steps 1-2: bursting + winner cells.
+                      active_cols: jnp.ndarray, pred_rows: jnp.ndarray):
+    """Steps 1-2 in active-column space.
 
-    Returns (bursting_col, winner_mask, cell_max_j, seg_j) where
-    cell_max_j is the per-cell max jittered matching potential
-    (`projections.py:229-239`) and seg_j the per-segment jittered
-    potential, both reused by the learning phase (the reference draws
-    this jitter once per state and shares it, `projections.py:241-243`).
+    Returns (col_burst, winner_rows, cell_max_j, seg_j):
+      col_burst  (A,)    bursting active columns (`networks.py:96-97`)
+      winner_rows (A, D) winner cells             (`networks.py:100-104`)
+      cell_max_j (A, D)  per-cell max jittered matching potential
+                         (`projections.py:229-243`)
+      seg_j      (A, G)  per-segment jittered potential (shared with the
+                         learning phase, `projections.py:241-243`)
     """
-    C, D, N = cfg.column_dim, cfg.cell_dim, cfg.num_cells
+    A, D, G = cfg.active_columns, cfg.cell_dim, cfg.segments_per_column
     k_seg, k_least = jax.random.split(key)
 
-    pred_cd = state.prediction.reshape(C, D)
-    col_predicted = pred_cd.any(axis=1)
-    bursting_col = active_col_mask & ~col_predicted      # networks.py:96-97
+    col_burst = ~pred_rows.any(axis=-1)                       # (A,)
 
-    # Best-matching: jittered max potential per cell over matching
-    # segments (projections.py:229-243, networks.py:73-82).
+    pot_rows = state.segment_potential[active_cols]           # (A, G)
+    match_rows = state.segment_matching[active_cols]          # (A, G)
+    segcell_rows = state.seg_cell[active_cols]                # (A, G)
+
+    # Jittered max matching potential per cell (networks.py:73-82).
     seg_j = jnp.where(
-        state.segment_matching,
-        state.segment_potential.astype(jnp.float32)
-        + jax.random.uniform(k_seg, (cfg.segment_capacity,), jnp.float32),
+        match_rows,
+        pot_rows.astype(jnp.float32)
+        + jax.random.uniform(k_seg, (A, G), jnp.float32),
         0.0,
     )
-    cell_max_j = (
-        jnp.zeros((N,), jnp.float32)
-        .at[state.segment_owner]
-        .max(seg_j, mode="drop")
-    )
-    cell_max_cd = cell_max_j.reshape(C, D)
-    col_max = cell_max_cd.max(axis=1, keepdims=True)
+    cell_max_j = percell_max(segcell_rows, seg_j, D, 0.0)     # (A, D)
+    col_max = cell_max_j.max(axis=-1)                         # (A,)
     col_matching = col_max >= cfg.segment_matching_threshold
-    cell_best_matching = jnp.abs(cell_max_cd - col_max) < cfg.epsilon
 
-    # Least-used: jittered argmin of per-cell segment counts
-    # (networks.py:84-89).
-    cell_seg_count = (
-        jnp.zeros((N,), jnp.int32)
-        .at[state.segment_owner]
-        .add(1, mode="drop")
+    # Jittered least-used segment count per cell (networks.py:84-89).
+    seg_count = percell_sum(
+        segcell_rows, jnp.ones((A, G), jnp.int32), D
+    ).astype(jnp.float32)
+    least_j = seg_count + jax.random.uniform(k_least, (A, D), jnp.float32)
+
+    # Bursting columns pick exactly one winner: the (jittered) argmax is
+    # a.s. a member of the reference's epsilon-tied candidate set
+    # (best-matching if the column has a matching segment, else
+    # least-used; networks.py:102-104).
+    burst_score = jnp.where(col_matching[:, None], cell_max_j, -least_j)
+    burst_sel = argmax_onehot(burst_score)                    # (A, D)
+    winner_rows = pred_rows | (col_burst[:, None] & burst_sel)
+    return col_burst, winner_rows, cell_max_j, seg_j
+
+
+def _allocate(cfg: TMConfig, segcell_rows, syn_rows, unacc):
+    """Per-column segment allocation for unaccounted winner cells
+    (`projections.py:271-281` + `add_output` recycling,
+    `projections.py:79-95`), deterministic rank pairing:
+
+    Eligible slots (live synapses < matching threshold — `add_output`'s
+    `edges_threshold`, `projections.py:80`) are ordered allocated-
+    recyclable-first then unallocated, ascending slot index; unaccounted
+    cells ascending cell index; the i-th cell takes the i-th slot.
+    Overflow (more cells than eligible slots in a column) is dropped.
+
+    Returns (new_seg (A,G) bool, new_owner (A,G) cell, n_dropped).
+    """
+    A, D, G = cfg.active_columns, cfg.cell_dim, cfg.segments_per_column
+    syn_count = (syn_rows >= 0).sum(axis=-1, dtype=jnp.int32)   # (A, G)
+    eligible = syn_count < cfg.segment_matching_threshold
+    unallocated = segcell_rows >= D
+    g = jnp.arange(G, dtype=jnp.int32)
+    key = g + G * unallocated.astype(jnp.int32)                  # (A, G)
+    # rank among eligible slots by ascending key (keys are distinct)
+    elig_rank = jnp.where(
+        eligible,
+        jnp.sum(
+            (key[:, :, None] > key[:, None, :]) & eligible[:, None, :],
+            axis=-1, dtype=jnp.int32,
+        ),
+        -1,
     )
-    csc_j = cell_seg_count.reshape(C, D).astype(jnp.float32) + \
-        jax.random.uniform(k_least, (C, D), jnp.float32)
-    cell_least_used = (
-        jnp.abs(csc_j - csc_j.min(axis=1, keepdims=True)) < cfg.epsilon
+    un_rank = jnp.where(unacc, rank_ascending(unacc), -2)        # (A, D)
+    assign = eligible[:, :, None] & unacc[:, None, :] & (
+        elig_rank[:, :, None] == un_rank[:, None, :]
+    )                                                            # (A, G, D)
+    new_seg = assign.any(axis=-1)
+    new_owner = jnp.sum(
+        assign * jnp.arange(D, dtype=jnp.int32), axis=-1, dtype=jnp.int32
+    )
+    n_dropped = unacc.sum(dtype=jnp.int32) - assign.sum(dtype=jnp.int32)
+    return new_seg, new_owner, n_dropped
+
+
+def _grow(cfg: TMConfig, key, syn_rows, perm_rows, learn_rows,
+          act_prev_rows, prev_cols, prev_winner_bits):
+    """Synapse growth toward previous winner cells
+    (`projections.py:111-161,190-192`): per learning segment, grow
+    n = clip(sampling - active_potential, 0, min(sampling, n_winners))
+    random candidates (i.i.d. uniform priorities, smallest-n selected by
+    pairwise rank count — no sort), never duplicating existing targets,
+    written into free slots in ascending candidate/slot order
+    (`utils.py:44-76`).
+
+    Returns (syn_rows, perm_rows, wrote (A,G,K) bool, n_grown, overflow,
+    n_winners_dropped).
+    """
+    A, D, G, K = (cfg.active_columns, cfg.cell_dim, cfg.segments_per_column,
+                  cfg.synapse_capacity)
+    Wc = cfg.resolved_winner_capacity
+    samp = cfg.segment_sampling_synapses
+
+    live = syn_rows >= 0
+    row_potential = (act_prev_rows & live).sum(axis=-1, dtype=jnp.int32)
+    n_winners = jax.lax.population_count(prev_winner_bits).sum().astype(
+        jnp.int32
     )
 
-    # networks.py:102-104
-    winner_cd = pred_cd | (
-        bursting_col[:, None]
-        & jnp.where(col_matching, cell_best_matching, cell_least_used)
-    )
-    winner_mask = (winner_cd & active_col_mask[:, None]).reshape(N)
-    return bursting_col, winner_mask, cell_max_j, seg_j
+    # Candidate list: previous winner cells, compacted (ascending cell
+    # id — prev_cols is sorted) to the Wc lowest. Typical winner count is
+    # ~1 per active column, far below Wc; truncation is counted. The
+    # narrow candidate axis keeps the selection/fill ops cheap.
+    grid_cell = (
+        prev_cols[:, None] * D + jnp.arange(D, dtype=jnp.int32)
+    ).reshape(A * D)
+    grid_valid = unpack_bits(prev_winner_bits, D).reshape(A * D)
+    cand_cell, cand_valid = compact_first_k(grid_valid, grid_cell, Wc)
+    n_winners_eff = jnp.minimum(n_winners, Wc)
+
+    n_grow = jnp.where(
+        learn_rows,
+        jnp.clip(samp - row_potential, 0, jnp.minimum(samp, n_winners_eff)),
+        0,
+    )                                                            # (A, G)
+
+    # Priorities; existing targets and non-winner slots -> +inf
+    # (projections.py:120-121's put_along_axis(..., inf) trick).
+    pri = jax.random.uniform(key, (A, G, Wc), jnp.float32)
+    existing = (syn_rows[:, :, :, None] == cand_cell).any(axis=2)  # (A,G,Wc)
+    pri = jnp.where(cand_valid & ~existing, pri, jnp.inf)
+
+    # Select the n_grow smallest priorities per row by pairwise rank
+    # count (Wc is narrow, so O(Wc^2) vector compares beat any sort).
+    rank = jnp.sum(
+        pri[:, :, None, :] < pri[:, :, :, None], axis=-1, dtype=jnp.int32
+    )                                                            # (A, G, Wc)
+    chosen = (pri < jnp.inf) & (rank < n_grow[:, :, None])
+
+    # Fill free slots: r-th chosen candidate -> r-th free slot, both
+    # ascending (replace_free semantics, utils.py:44-76), one-hot matched
+    # so no scatter is needed.
+    free = ~live
+    free_rank = rank_ascending(free)                             # (A, G, K)
+    chosen_rank = rank_ascending(chosen)                         # (A, G, Wc)
+    n_chosen = chosen.sum(axis=-1, dtype=jnp.int32)              # (A, G)
+    match = chosen[:, :, None, :] & (
+        chosen_rank[:, :, None, :] == free_rank[:, :, :, None]
+    )                                                            # (A,G,K,Wc)
+    gathered = jnp.sum(match * cand_cell, axis=-1, dtype=jnp.int32)
+    wrote = free & (free_rank < n_chosen[:, :, None])
+    syn_rows = jnp.where(wrote, gathered, syn_rows)
+    perm_rows = jnp.where(wrote, cfg.permanence_initial, perm_rows)
+    n_free = free.sum(axis=-1, dtype=jnp.int32)
+    overflow = jnp.maximum(n_chosen - n_free, 0).sum(dtype=jnp.int32)
+    return (syn_rows, perm_rows, wrote, wrote.sum(dtype=jnp.int32),
+            overflow, n_winners - n_winners_eff)
 
 
 def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
-           active_col_mask: jnp.ndarray, winner_mask: jnp.ndarray,
-           cell_max_j: jnp.ndarray, seg_j: jnp.ndarray):
+           active_cols, col_active, pred_rows, winner_rows,
+           cell_max_j, seg_j):
     """Step 3: all graph mutation (`PredictiveProjection.update`,
     `projections.py:257-293`). Learns against the *previous* step's
     activation/winners; a no-op on step 0 (prev distal state is None,
-    `projections.py:258-259`)."""
-    C, D, N = cfg.column_dim, cfg.cell_dim, cfg.num_cells
-    K, S = cfg.synapse_capacity, cfg.segment_capacity
+    `projections.py:258-259`).
+
+    Full-table work stays flat (C, G*K); everything else happens on the
+    gathered (A, ...) active-column rows.
+    """
+    C, D, G, K = (cfg.column_dim, cfg.cell_dim, cfg.segments_per_column,
+                  cfg.synapse_capacity)
+    J = G * K
     has_prev = state.step > 0
 
-    owner = state.segment_owner
-    synapse_cell, synapse_perm = state.synapse_cell, state.synapse_perm
-    prev_active, prev_winner = state.active_mask, state.winner_mask
+    syn_flat = state.synapse_cell                               # (C, J)
+    perm_flat = state.synapse_perm                              # (C, J)
 
-    # --- learning / punished segment sets (projections.py:264-269) ---
-    owner_winner = jnp.take(winner_mask, owner, mode="fill", fill_value=False)
-    owner_pred = jnp.take(state.prediction, owner, mode="fill",
-                          fill_value=False)
-    owner_cell_max = jnp.take(cell_max_j, owner, mode="fill", fill_value=0.0)
-    seg_best_matching = jnp.abs(seg_j - owner_cell_max) < cfg.epsilon
-    learning_seg = (
-        state.segment_matching
+    # Synapse activity wrt the previous step's active cells — the one
+    # full-table pass of the learning phase.
+    act_prev = synapse_activation(
+        syn_flat, state.active_cols, state.active_bits, D
+    )                                                           # (C, J)
+
+    # --- punishment: full-table elementwise (projections.py:269,290-293)
+    punished = (
+        state.segment_matching & ~col_active[:, None] & has_prev
+    )                                                           # (C, G)
+    pun_flat = seg_broadcast(punished, G, K)                    # (C, J) 0/1
+    live = syn_flat >= 0
+    perm_pun = perm_flat - (
+        pun_flat * (act_prev & live) * jnp.float32(cfg.permanence_punishment)
+    )
+    dead = live & (perm_pun < 0.0)
+    syn_full = jnp.where(dead, -1, syn_flat)
+    perm_full = jnp.where(dead, -1.0, perm_pun)
+
+    # --- learning-segment set in active-column row space
+    # (projections.py:264-268)
+    match_rows = state.segment_matching[active_cols]            # (A, G)
+    active_seg_rows = state.segment_active[active_cols]
+    segcell_rows = state.seg_cell[active_cols]
+    syn_rows = syn_flat[active_cols].reshape(-1, G, K)          # (A, G, K)
+    perm_rows = perm_flat[active_cols].reshape(-1, G, K)
+    act_prev_rows = act_prev[active_cols].reshape(-1, G, K)
+
+    owner_pred = take_percell(pred_rows, segcell_rows, D, False)
+    owner_winner = take_percell(winner_rows, segcell_rows, D, False)
+    owner_max = take_percell(cell_max_j, segcell_rows, D, 0.0)
+    seg_best = match_rows & (jnp.abs(seg_j - owner_max) < cfg.epsilon)
+    learn_rows = (
+        match_rows
         & owner_winner
-        & (state.segment_active | (~owner_pred & seg_best_matching))
+        & (active_seg_rows | (~owner_pred & seg_best))
         & has_prev
+    )                                                           # (A, G)
+
+    # --- segment allocation for unaccounted winners (recycle-first)
+    unacc = winner_rows & (cell_max_j < cfg.epsilon) & has_prev  # (A, D)
+    new_seg, new_owner, n_dropped = _allocate(
+        cfg, segcell_rows, syn_rows, unacc
     )
-    cell_punished = jnp.repeat(~active_col_mask, D)  # networks.py:107-111
-    punished_seg = (
-        state.segment_matching
-        & jnp.take(cell_punished, owner, mode="fill", fill_value=False)
-        & has_prev
+    segcell_rows = jnp.where(new_seg, new_owner, segcell_rows)
+    syn_rows = jnp.where(new_seg[:, :, None], -1, syn_rows)
+    perm_rows = jnp.where(new_seg[:, :, None], -1.0, perm_rows)
+    learn_rows = learn_rows | new_seg
+
+    # --- permanence update + death on learning rows
+    # (projections.py:97-109,283-289)
+    live_rows = syn_rows >= 0
+    delta = jnp.where(
+        act_prev_rows,
+        jnp.float32(cfg.permanence_increment),
+        jnp.float32(-cfg.permanence_decrement),
+    )
+    perm_rows = perm_rows + (learn_rows[:, :, None] & live_rows) * delta
+    dead_rows = live_rows & (perm_rows < 0.0)
+    syn_rows = jnp.where(dead_rows, -1, syn_rows)
+    perm_rows = jnp.where(dead_rows, -1.0, perm_rows)
+
+    # --- synapse growth toward previous winners
+    syn_rows, perm_rows, wrote, n_grown, overflow, winners_dropped = _grow(
+        cfg, key, syn_rows, perm_rows, learn_rows, act_prev_rows,
+        state.active_cols, state.winner_bits,
     )
 
-    # --- segment allocation for unaccounted winners ---
-    # (projections.py:271-281): winner cells with no matching segment
-    # (max jittered potential < eps) get one, recycle-before-grow.
-    unaccounted = winner_mask & (cell_max_j < cfg.epsilon) & has_prev
-    un_cells, un_valid = compact_mask(unaccounted, cfg.max_new_segments, N)
-    syn_count = (synapse_cell >= 0).sum(axis=0, dtype=jnp.int32)
-    slots, assign_valid = allocate_segments(
-        owner, syn_count, un_cells, un_valid,
-        cfg.segment_matching_threshold, N,
-    )
-    owner = owner.at[slots].set(un_cells, mode="drop")
-    # Clear recycled slots (add_output resets rows, projections.py:82-85).
-    synapse_cell = synapse_cell.at[:, slots].set(-1, mode="drop")
-    synapse_perm = synapse_perm.at[:, slots].set(-1.0, mode="drop")
-    learning_seg = learning_seg.at[slots].set(True, mode="drop")
+    # --- write the active-column rows back into the punished full table
+    syn_full = syn_full.at[active_cols].set(syn_rows.reshape(-1, J))
+    perm_full = perm_full.at[active_cols].set(perm_rows.reshape(-1, J))
+    seg_cell = state.seg_cell.at[active_cols].set(segcell_rows)
 
-    # --- permanence update + synapse death (projections.py:97-109) ---
-    # Learning rows: active synapse +inc, inactive -dec; punished rows:
-    # active synapse -punishment (projections.py:283-293). The two sets
-    # are disjoint (winner cells are in active columns), so one fused
-    # masked update is exact.
-    act_syn = gather_or(prev_active, synapse_cell, False)
-    live = synapse_cell >= 0
-    delta = (
-        learning_seg[None, :]
-        * jnp.where(act_syn, cfg.permanence_increment,
-                    -cfg.permanence_decrement)
-        + punished_seg[None, :]
-        * jnp.where(act_syn, -cfg.permanence_punishment, 0.0)
+    learning_full = (
+        jnp.zeros((C, G), jnp.bool_).at[active_cols].set(learn_rows)
     )
-    synapse_perm = synapse_perm + live * delta
-    dead = live & (synapse_perm < 0.0)
-    synapse_cell = jnp.where(dead, -1, synapse_cell)
-    synapse_perm = jnp.where(dead, -1.0, synapse_perm)
-
-    # --- synapse growth toward previous winners (projections.py:111-161) ---
-    learn_idx, learn_valid = compact_mask(
-        learning_seg, cfg.max_learning_segments, S
+    new_seg_full = (
+        jnp.zeros((C, G), jnp.bool_).at[active_cols].set(new_seg)
     )
-    winner_idx, winner_valid = compact_mask(
-        prev_winner, cfg.max_winner_cells, N
-    )
-    n_winners = prev_winner.sum(dtype=jnp.int32)
-    synapse_cell, synapse_perm, grown, grow_overflow, grown_mask = grow_synapses(
-        key, synapse_cell, synapse_perm,
-        learn_idx, learn_valid, winner_idx, winner_valid, n_winners,
-        prev_active, N, cfg.segment_sampling_synapses,
-        cfg.permanence_initial,
+    wrote_full = (
+        jnp.zeros((C, G, K), jnp.bool_).at[active_cols].set(wrote)
     )
 
     metrics = {
-        "tm_new_segments": assign_valid.sum(dtype=jnp.int32),
-        "tm_grown_synapses": grown.sum(dtype=jnp.int32),
-        "tm_learning_segments": learning_seg.sum(dtype=jnp.int32),
-        "tm_punished_segments": punished_seg.sum(dtype=jnp.int32),
+        "tm_new_segments": new_seg.sum(dtype=jnp.int32),
+        "tm_grown_synapses": n_grown,
+        "tm_learning_segments": learn_rows.sum(dtype=jnp.int32),
+        "tm_punished_segments": punished.sum(dtype=jnp.int32),
         # capacity-overflow counters (reference reallocates instead):
-        "tm_dropped_new_segments": (unaccounted.sum(dtype=jnp.int32)
-                                    - assign_valid.sum(dtype=jnp.int32)),
-        "tm_dropped_learning_segments": (
-            learning_seg.sum(dtype=jnp.int32)
-            - learn_valid.sum(dtype=jnp.int32)
-        ),
-        "tm_dropped_synapses": grow_overflow,
+        "tm_dropped_new_segments": n_dropped,
+        "tm_dropped_synapses": overflow,
+        "tm_dropped_winner_candidates": winners_dropped,
     }
-    debug = TMDebug(
-        winner_mask=winner_mask,
-        learning_segments=learning_seg,
-        punished_segments=punished_seg,
-        new_segment_slots=slots,
-        new_segment_cells=un_cells,
-        new_segment_valid=assign_valid,
-        grown_cell=synapse_cell,
-        grown_mask=grown_mask,
+    debug = dict(
+        learning_segments=learning_full,
+        punished_segments=punished,
+        new_segments=new_seg_full,
+        grown_mask=wrote_full,
     )
-    return synapse_cell, synapse_perm, owner, metrics, debug
+    return syn_full, perm_full, seg_cell, metrics, debug
 
 
 def tm_step(
     cfg: TMConfig,
     state: TMState,
     key: jax.Array,
-    active_col_mask: jnp.ndarray,
+    active_cols: jnp.ndarray,
     learning: bool = True,
     compute_winner: bool = True,
     return_debug: bool = False,
-) -> tuple[TMState, TMOutput]:
+):
     """One TM timestep for a single stream.
 
-    `learning`, `compute_winner`, `return_debug` are jit-static, mirroring
-    the `learning` / `return_winner_cell` flags of `networks.py:91`.
+    `active_cols` is the SP's exactly-A top-k column index list (any
+    order; sorted internally so downstream compaction is by ascending
+    id). `learning`, `compute_winner`, `return_debug` are jit-static,
+    mirroring the `learning` / `return_winner_cell` flags of
+    `networks.py:91`.
     """
-    C, D, N = cfg.column_dim, cfg.cell_dim, cfg.num_cells
+    C, D, G, K = (cfg.column_dim, cfg.cell_dim, cfg.segments_per_column,
+                  cfg.synapse_capacity)
+    A, J = cfg.active_columns, G * K
+    active_cols = jnp.sort(active_cols.astype(jnp.int32))
     k_select, k_grow = jax.random.split(key)
 
-    prev_prediction = state.prediction
-    pred_cd = prev_prediction.reshape(C, D)
+    prev_prediction = state.prediction                         # (C, D)
+    pred_rows = prev_prediction[active_cols]                   # (A, D)
+    col_active = column_mask_from_cols(active_cols, C)         # (C,)
+
+    if learning or compute_winner:
+        col_burst, winner_rows, cell_max_j, seg_j = _winner_selection(
+            cfg, state, k_select, active_cols, pred_rows
+        )
+    else:
+        col_burst = ~pred_rows.any(axis=-1)
+        winner_rows = jnp.zeros((A, D), jnp.bool_)
 
     debug = None
-    if learning or compute_winner:
-        bursting_col, winner_mask, cell_max_j, seg_j = _winner_selection(
-            cfg, state, k_select, active_col_mask
-        )
-    else:
-        col_predicted = pred_cd.any(axis=1)
-        bursting_col = active_col_mask & ~col_predicted
-        winner_mask = jnp.zeros((N,), jnp.bool_)
-
     if learning:
-        synapse_cell, synapse_perm, owner, learn_metrics, debug = _learn(
-            cfg, state, k_grow, active_col_mask, winner_mask,
-            cell_max_j, seg_j,
+        syn_full, perm_full, seg_cell, learn_metrics, debug = _learn(
+            cfg, state, k_grow, active_cols, col_active, pred_rows,
+            winner_rows, cell_max_j, seg_j,
         )
     else:
-        synapse_cell, synapse_perm, owner = (
-            state.synapse_cell, state.synapse_perm, state.segment_owner
-        )
+        syn_full = state.synapse_cell
+        perm_full = state.synapse_perm
+        seg_cell = state.seg_cell
         learn_metrics = {}
 
     # --- activation: predicted cells + full bursting columns
-    # (networks.py:115-119) ---
-    activation_cd = (pred_cd | bursting_col[:, None]) & active_col_mask[:, None]
-    active_mask = activation_cd.reshape(N)
+    # (networks.py:115-119)
+    act_rows = pred_rows | col_burst[:, None]                  # (A, D)
+    act_bits = pack_bits(act_rows)                             # (A, W)
 
-    # --- distal forward pass -> next prediction (networks.py:121-122) ---
-    potential, matching, seg_active, prediction = segment_forward(
-        synapse_cell, synapse_perm, owner, active_mask, N,
-        cfg.permanence_threshold, cfg.segment_activation_threshold,
-        cfg.segment_matching_threshold,
+    # --- distal forward pass -> next prediction
+    # (networks.py:121-122, projections.py:245-255)
+    act_now = synapse_activation(syn_full, active_cols, act_bits, D)
+    potential = seg_reduce_counts(act_now, G, K)               # (C, G)
+    connected = seg_reduce_counts(
+        act_now & (perm_full >= cfg.permanence_threshold), G, K
     )
+    matching = potential >= cfg.segment_matching_threshold
+    seg_active = matching & (connected >= cfg.segment_activation_threshold)
+    prediction = percell_max(
+        seg_cell, seg_active, D, False
+    )                                                          # (C, D)
 
     new_state = TMState(
-        synapse_cell=synapse_cell,
-        synapse_perm=synapse_perm,
-        segment_owner=owner,
-        active_mask=active_mask,
-        winner_mask=winner_mask,
+        synapse_cell=syn_full,
+        synapse_perm=perm_full,
+        seg_cell=seg_cell,
+        active_cols=active_cols,
+        active_bits=act_bits,
+        winner_bits=pack_bits(winner_rows),
         prediction=prediction,
         segment_potential=potential,
         segment_matching=matching,
         segment_active=seg_active,
         step=state.step + 1,
     )
+
+    N = C * D
+    active_mask = (
+        jnp.zeros((C, D), jnp.bool_).at[active_cols].set(act_rows)
+    ).reshape(N)
+    winner_mask = (
+        jnp.zeros((C, D), jnp.bool_).at[active_cols].set(winner_rows)
+    ).reshape(N)
+    bursting_full = (
+        jnp.zeros((C,), jnp.bool_).at[active_cols].set(col_burst)
+    )
     metrics = {
-        "tm_bursting_columns": bursting_col.sum(dtype=jnp.int32),
-        "tm_active_cells": active_mask.sum(dtype=jnp.int32),
+        "tm_bursting_columns": col_burst.sum(dtype=jnp.int32),
+        "tm_active_cells": act_rows.sum(dtype=jnp.int32),
         "tm_predicted_cells": prediction.sum(dtype=jnp.int32),
         "tm_matching_segments": matching.sum(dtype=jnp.int32),
-        "tm_pool_occupancy": (owner < N).sum(dtype=jnp.int32),
+        "tm_pool_occupancy": (seg_cell < D).sum(dtype=jnp.int32),
         **learn_metrics,
     }
     out = TMOutput(
         active_mask=active_mask,
         winner_mask=winner_mask,
-        prediction=prediction,
-        prev_prediction=prev_prediction,
-        bursting_columns=bursting_col,
+        prediction=prediction.reshape(N),
+        prev_prediction=prev_prediction.reshape(N),
+        bursting_columns=bursting_full,
         metrics=metrics,
     )
     if return_debug:
-        return new_state, out, debug
+        dbg = TMDebug(
+            winner_mask=winner_mask,
+            learning_segments=(
+                debug["learning_segments"] if debug is not None
+                else jnp.zeros((C, G), jnp.bool_)
+            ),
+            punished_segments=(
+                debug["punished_segments"] if debug is not None
+                else jnp.zeros((C, G), jnp.bool_)
+            ),
+            new_segments=(
+                debug["new_segments"] if debug is not None
+                else jnp.zeros((C, G), jnp.bool_)
+            ),
+            grown_mask=(
+                debug["grown_mask"] if debug is not None
+                else jnp.zeros((C, G, K), jnp.bool_)
+            ),
+            synapse_cell=syn_full.reshape(C, G, K),
+            seg_cell=seg_cell,
+        )
+        return new_state, out, dbg
     return new_state, out

@@ -73,7 +73,7 @@ class TemporalMemory:
     def process(self, sp_output, learning=True):
         self.key, sub = jax.random.split(self.key)
         self.state, out = _jit_tm_step(
-            self.config, self.state, sub, sp_output.active_mask, learning
+            self.config, self.state, sub, sp_output.active_columns, learning
         )
         return out
 

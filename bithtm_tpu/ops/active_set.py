@@ -1,0 +1,213 @@
+"""Compact active-set encoding: the TPU-native core of this framework.
+
+HTM's whole sparsity structure is "exactly A = active_columns columns per
+step, each with a D-bit cell activation pattern" (inhibition picks a
+fixed top-k, `regularizations.py:28-29` in the reference; D = cells per
+column). So the active/winner cell sets are *losslessly* described by
+
+    cols: (A,) int32     the active column ids (SP top-k output)
+    bits: (A, W) uint32  per-column cell bitmask, W = ceil(D / 32)
+
+With that encoding, the reference's hot gather — "for every synapse, is
+its presynaptic cell active?" (`projections.py:167-178` push/pull over a
+65 536-entry table) — becomes a **compare-broadcast against the A-entry
+list plus a bit-extract**: pure VPU arithmetic, no arbitrary-index
+gather or scatter, which TPUs execute on the scalar core at ~1 element
+per dozen cycles. A=41 compares per synapse, fully vectorized, beats one
+scalar gather per synapse by ~two orders of magnitude on this hardware.
+
+Per-cell segment reductions (the reference's `np.maximum.at` /
+`bincount` over segment bundles, `projections.py:229-255`) become
+one-hot compares over the D axis — also scatter-free.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cell_words(cell_dim: int) -> int:
+    return (cell_dim + 31) // 32
+
+
+def pack_bits(mask: jnp.ndarray) -> jnp.ndarray:
+    """(..., D) bool -> (..., W) uint32 bitmask (bit d of word d//32)."""
+    D = mask.shape[-1]
+    W = cell_words(D)
+    pad = W * 32 - D
+    if pad:
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((*mask.shape[:-1], pad), mask.dtype)], axis=-1
+        )
+    m = mask.reshape(*mask.shape[:-1], W, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return (m * weights).sum(axis=-1, dtype=jnp.uint32)
+
+
+def unpack_bits(bits: jnp.ndarray, cell_dim: int) -> jnp.ndarray:
+    """(..., W) uint32 -> (..., D) bool."""
+    W = bits.shape[-1]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    expanded = (bits[..., None] >> shifts) & jnp.uint32(1)  # (..., W, 32)
+    flat = expanded.reshape(*bits.shape[:-1], W * 32)
+    return flat[..., :cell_dim].astype(jnp.bool_)
+
+
+def dense_from_compact(cols: jnp.ndarray, bits: jnp.ndarray,
+                       column_dim: int, cell_dim: int) -> jnp.ndarray:
+    """Compact (cols, bits) -> dense (C, D) bool mask (for outputs/tests)."""
+    rows = unpack_bits(bits, cell_dim)  # (A, D)
+    out = jnp.zeros((column_dim, cell_dim), jnp.bool_)
+    return out.at[cols].set(rows)
+
+
+def column_mask_from_cols(cols: jnp.ndarray, column_dim: int) -> jnp.ndarray:
+    """(A,) column ids -> (C,) bool mask, scatter-free (C x A compare)."""
+    c = jnp.arange(column_dim, dtype=jnp.int32)
+    return (c[:, None] == cols[None, :]).any(axis=1)
+
+
+def synapse_activation(
+    syn_cell: jnp.ndarray,   # (R, J) int32 global presynaptic cell, -1 free
+    cols: jnp.ndarray,       # (A,) int32 active columns
+    bits: jnp.ndarray,       # (A, W) uint32 per-column cell bitmasks
+    cell_dim: int,
+) -> jnp.ndarray:
+    """For every synapse slot: is its presynaptic cell in the active set?
+
+    act[r, j] = any_a( col(syn[r,j]) == cols[a] AND bit(bits[a], lo(syn)) )
+
+    Free slots (-1) never match (floor-div keeps them at column -1).
+    Cost: R * J * A vector ops — the TPU substitute for the reference's
+    push-mode bincount / pull-mode gather (`projections.py:163-178`).
+
+    Layout: the A axis is placed second-to-last (sublanes) so the lane
+    axis stays the 128-aligned J; putting A last would pad the ~41-wide
+    reduction axis to 128 lanes (3x wasted VPU work).
+    """
+    W = bits.shape[-1]
+    col = syn_cell // cell_dim                       # (R, J), -1 for free
+    lo = syn_cell - col * cell_dim                   # in [0, D)
+    eq = col[:, None, :] == cols[None, :, None]      # (R, A, J)
+    bitpos = (lo % 32).astype(jnp.uint32)[:, None, :]  # (R, 1, J)
+    hit = jnp.zeros(eq.shape, jnp.bool_)
+    for w in range(W):
+        bitval = (
+            (bits[None, :, w, None] >> bitpos) & jnp.uint32(1)
+        ).astype(jnp.bool_)                          # (R, A, J)
+        if W > 1:
+            word = (lo // 32)[:, None, :]
+            hit |= eq & bitval & (word == w)
+        else:
+            hit |= eq & bitval
+    return hit.any(axis=1)                           # (R, J)
+
+
+# ---- segment-axis reduction/broadcast on flat (C, G*K) tables ----------
+# Full-table arrays stay flat 2D: the 3D (C, G, K) view has a 48-wide
+# minor dim that XLA pads to 128-lane tiles, so every materialization of
+# a reshaped form costs a 2.7x relayout copy. Instead, reductions over K
+# and broadcasts over K go through a constant 0/1 block matrix on the
+# MXU (a segmented reduce as a matmul — idiomatic TPU).
+
+
+def _seg_matrix(num_segments: int, synapses: int) -> jnp.ndarray:
+    """(G*K, G) constant 0/1 matrix, M[j, g] = (j // K == g)."""
+    j = jnp.arange(num_segments * synapses, dtype=jnp.int32)
+    g = jnp.arange(num_segments, dtype=jnp.int32)
+    return ((j[:, None] // synapses) == g).astype(jnp.bfloat16)
+
+
+def seg_reduce_counts(flat_mask: jnp.ndarray, num_segments: int,
+                      synapses: int) -> jnp.ndarray:
+    """(C, G*K) bool -> (C, G) int32 per-segment counts via MXU matmul.
+
+    Exact: 0/1 values are exact in bf16 and counts (<= K <= 256) are
+    exactly representable in the f32 accumulator.
+    """
+    m = _seg_matrix(num_segments, synapses)
+    out = jax.lax.dot_general(
+        flat_mask.astype(jnp.bfloat16), m,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(jnp.int32)
+
+
+def seg_broadcast(per_segment: jnp.ndarray, num_segments: int,
+                  synapses: int) -> jnp.ndarray:
+    """(C, G) bool/0-1 -> (C, G*K) float32 0/1 mask via MXU matmul."""
+    m = _seg_matrix(num_segments, synapses)
+    return jax.lax.dot_general(
+        per_segment.astype(jnp.bfloat16), m.T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def compact_first_k(valid: jnp.ndarray, values: jnp.ndarray,
+                    k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """First k `values[valid]` in index order, one-hot matched (no sort,
+    no scatter). Returns (out (k,), out_valid (k,)); out is 0-filled past
+    the valid count."""
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1      # (n,)
+    rank = jnp.where(valid, rank, -1)
+    sel = rank[None, :] == jnp.arange(k, dtype=jnp.int32)[:, None]  # (k, n)
+    out = jnp.sum(sel * values[None, :], axis=1, dtype=values.dtype)
+    out_valid = jnp.arange(k, dtype=jnp.int32) < valid.sum(dtype=jnp.int32)
+    return out, out_valid
+
+
+# ---- one-hot per-cell reductions over the segment axis -----------------
+# seg_cell holds the owner cell *within its column* (sentinel = cell_dim
+# for unallocated slots, which the [0, D) one-hot range excludes).
+
+
+def percell_max(seg_cell: jnp.ndarray, values: jnp.ndarray, cell_dim: int,
+                init) -> jnp.ndarray:
+    """(..., G) idx + (..., G) values -> (..., D) per-cell max."""
+    d = jnp.arange(cell_dim, dtype=seg_cell.dtype)
+    onehot = seg_cell[..., None] == d                # (..., G, D)
+    return jnp.max(jnp.where(onehot, values[..., None], init), axis=-2)
+
+
+def percell_sum(seg_cell: jnp.ndarray, values: jnp.ndarray,
+                cell_dim: int) -> jnp.ndarray:
+    """(..., G) idx + (..., G) values -> (..., D) per-cell sum."""
+    d = jnp.arange(cell_dim, dtype=seg_cell.dtype)
+    onehot = seg_cell[..., None] == d
+    return jnp.sum(jnp.where(onehot, values[..., None], 0), axis=-2)
+
+
+def percell_any(seg_cell: jnp.ndarray, mask: jnp.ndarray,
+                cell_dim: int) -> jnp.ndarray:
+    """(..., G) idx + (..., G) bool -> (..., D) per-cell any."""
+    d = jnp.arange(cell_dim, dtype=seg_cell.dtype)
+    onehot = seg_cell[..., None] == d
+    return jnp.any(onehot & mask[..., None], axis=-2)
+
+
+def take_percell(values: jnp.ndarray, seg_cell: jnp.ndarray,
+                 cell_dim: int, fill) -> jnp.ndarray:
+    """values (..., D) indexed by seg_cell (..., G) -> (..., G), one-hot
+    (gather-free); sentinel cell_dim yields `fill`."""
+    d = jnp.arange(cell_dim, dtype=seg_cell.dtype)
+    onehot = seg_cell[..., None] == d                # (..., G, D)
+    picked = jnp.sum(
+        jnp.where(onehot, values[..., None, :], 0), axis=-1
+    )
+    valid = seg_cell < cell_dim
+    return jnp.where(valid, picked.astype(values.dtype), fill)
+
+
+def rank_ascending(mask: jnp.ndarray) -> jnp.ndarray:
+    """0-based rank of each True among Trues along the last axis."""
+    return jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1
+
+
+def argmax_onehot(values: jnp.ndarray) -> jnp.ndarray:
+    """One-hot of the argmax along the last axis (exactly one True)."""
+    idx = jnp.argmax(values, axis=-1)
+    d = jnp.arange(values.shape[-1], dtype=idx.dtype)
+    return d == idx[..., None]

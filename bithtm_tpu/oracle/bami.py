@@ -53,7 +53,8 @@ class OracleTM:
         self.C = cfg.column_dim
         self.D = cfg.cell_dim
         self.N = cfg.num_cells
-        self.S = cfg.segment_capacity
+        self.G = cfg.segments_per_column
+        self.S = cfg.segment_capacity  # C * G; slot s belongs to column s // G
         # slot -> owner cell (None = unallocated)
         self.owner = [None] * self.S
         # slot -> {cell: permanence}
@@ -194,7 +195,12 @@ class OracleTM:
     def _learn(self, active_columns, winners, decisions):
         cfg = self.cfg
         prev_active = self.active_cells
-        prev_winners = sorted(self.winner_cells)
+        # growth candidates: previous winners, truncated to the static
+        # winner_capacity by ascending cell id (the JAX step's compact
+        # candidate list; overflow dropped + counted there)
+        prev_winners = sorted(self.winner_cells)[
+            : cfg.resolved_winner_capacity
+        ]
 
         # learning segment set (semantics 8): matching segments of winner
         # cells that were active OR (cell unpredicted AND best-matching).
@@ -240,26 +246,30 @@ class OracleTM:
                 punished.add(s)
 
         # new segments (semantics 9): winner cells without matching
-        # segments; slot choice is deterministic recycle-before-grow.
+        # segments. The pool is per-column (slot s hosts only cells of
+        # column s // G); within a column the assignment is fully
+        # deterministic: eligible slots (synapse count below the
+        # matching threshold — `add_output`'s recycle rule,
+        # `projections.py:80`) ordered allocated-recyclable-first then
+        # unallocated, ascending slot; unaccounted cells ascending; the
+        # i-th cell takes the i-th slot, overflow dropped.
         unaccounted = sorted(
             cell for cell in winners if self.cell_max_potential(cell) == 0
         )
-        syn_count = [len(self.synapses[s]) for s in range(self.S)]
-        eligible = [
-            s for s in range(self.S)
-            if syn_count[s] < cfg.segment_matching_threshold
-        ]
-        # allocated recyclables first (ascending), then unallocated
-        eligible.sort(key=lambda s: s + self.S * (self.owner[s] is None))
-        expected_assign = list(zip(eligible, unaccounted))[:len(unaccounted)]
-        got = [(slot, cell) for slot, cell in decisions.new_segments]
-        # capacity overflow in the JAX step drops the tail; allow a prefix
-        if got != expected_assign[: len(got)] or (
-            len(got) < len(expected_assign)
-            and len(got) < cfg.max_new_segments
-        ):
+        expected_assign = set()
+        for c in sorted({cell // self.D for cell in unaccounted}):
+            cells = [cell for cell in unaccounted if cell // self.D == c]
+            slots = [
+                s for s in range(c * self.G, (c + 1) * self.G)
+                if len(self.synapses[s]) < cfg.segment_matching_threshold
+            ]
+            slots.sort(key=lambda s: s + self.S * (self.owner[s] is None))
+            expected_assign.update(zip(slots, cells))
+        got = set(decisions.new_segments)
+        if got != expected_assign:
             raise ParityError(
-                f"segment allocation mismatch: {got} vs {expected_assign}"
+                f"segment allocation mismatch: {sorted(got)} vs "
+                f"{sorted(expected_assign)}"
             )
         learning = set(claimed)
         for slot, cell in got:
@@ -324,53 +334,98 @@ class OracleTM:
     # ---- comparison ----------------------------------------------------
 
     def compare(self, tm_state, out=None, atol=1e-5):
-        """Bit-exact comparison against a JAX TMState (numpy-converted)."""
+        """Bit-exact comparison against a JAX TMState (numpy-converted).
+
+        Slot s in the per-column pool is (c, g) = divmod(s, G); its
+        owner is global cell c * D + seg_cell[c, g] (sentinel D =
+        unallocated). The compact active/winner sets are expanded from
+        the (cols, bits) encoding.
+        """
         import numpy as np
 
-        owner = np.asarray(tm_state.segment_owner)
-        cell_tab = np.asarray(tm_state.synapse_cell)
-        perm_tab = np.asarray(tm_state.synapse_perm)
+        C, D, G = self.C, self.D, self.G
+        seg_cell = np.asarray(tm_state.seg_cell)                  # (C, G)
+        cell_tab = np.asarray(tm_state.synapse_cell).reshape(C, G, -1)
+        perm_tab = np.asarray(tm_state.synapse_perm).reshape(C, G, -1)
+        K = cell_tab.shape[-1]
 
         for s in range(self.S):
+            c, g = divmod(s, G)
             o = self.owner[s]
-            jax_alloc = owner[s] < self.N
+            jax_alloc = seg_cell[c, g] < D
             if (o is not None) != bool(jax_alloc):
                 raise ParityError(f"slot {s} allocation mismatch")
-            if o is not None and o != owner[s]:
-                raise ParityError(f"slot {s} owner {owner[s]} != {o}")
+            if o is not None and o != c * D + seg_cell[c, g]:
+                raise ParityError(
+                    f"slot {s} owner {c * D + seg_cell[c, g]} != {o}"
+                )
             jax_syn = {}
-            for k in range(cell_tab.shape[0]):
-                if cell_tab[k, s] >= 0:
-                    c = int(cell_tab[k, s])
-                    if c in jax_syn:
-                        raise ParityError(f"slot {s} duplicate synapse {c}")
-                    jax_syn[c] = float(perm_tab[k, s])
+            for k in range(K):
+                if cell_tab[c, g, k] >= 0:
+                    t = int(cell_tab[c, g, k])
+                    if t in jax_syn:
+                        raise ParityError(f"slot {s} duplicate synapse {t}")
+                    jax_syn[t] = float(perm_tab[c, g, k])
             if set(jax_syn) != set(self.synapses[s]):
                 raise ParityError(
                     f"slot {s} synapse targets {sorted(jax_syn)} != "
                     f"{sorted(self.synapses[s])}"
                 )
-            for c, p in self.synapses[s].items():
-                if not math.isclose(p, jax_syn[c], abs_tol=atol):
+            for t, p in self.synapses[s].items():
+                if not math.isclose(p, jax_syn[t], abs_tol=atol):
                     raise ParityError(
-                        f"slot {s} syn {c} perm {jax_syn[c]} != {p}"
+                        f"slot {s} syn {t} perm {jax_syn[t]} != {p}"
                     )
 
-        def check_set(name, mask, expected):
-            got = set(int(i) for i in np.nonzero(np.asarray(mask))[0])
+        def bits_to_set(cols, bits):
+            cells = set()
+            cols = np.asarray(cols)
+            bits = np.asarray(bits)
+            for a in range(cols.shape[0]):
+                for w in range(bits.shape[1]):
+                    word = int(bits[a, w])
+                    for b in range(32):
+                        d = w * 32 + b
+                        if d < D and (word >> b) & 1:
+                            cells.add(int(cols[a]) * D + d)
+            return cells
+
+        def check_set(name, got, expected):
             if got != expected:
                 raise ParityError(
                     f"{name}: jax-only={sorted(got - expected)[:8]} "
                     f"oracle-only={sorted(expected - got)[:8]}"
                 )
 
-        check_set("active_cells", tm_state.active_mask, self.active_cells)
-        check_set("winner_cells", tm_state.winner_mask, self.winner_cells)
-        check_set("prediction", tm_state.prediction, self.predicted_cells)
-        check_set("matching", tm_state.segment_matching, self.matching)
-        check_set("active_segments", tm_state.segment_active,
-                  self.active_segments)
-        pot = np.asarray(tm_state.segment_potential)
+        check_set(
+            "active_cells",
+            bits_to_set(tm_state.active_cols, tm_state.active_bits),
+            self.active_cells,
+        )
+        check_set(
+            "winner_cells",
+            bits_to_set(tm_state.active_cols, tm_state.winner_bits),
+            self.winner_cells,
+        )
+        pred = np.asarray(tm_state.prediction).reshape(-1)
+        check_set(
+            "prediction",
+            set(int(i) for i in np.nonzero(pred)[0]),
+            self.predicted_cells,
+        )
+        match = np.asarray(tm_state.segment_matching).reshape(-1)
+        check_set(
+            "matching",
+            set(int(i) for i in np.nonzero(match)[0]),
+            self.matching,
+        )
+        seg_act = np.asarray(tm_state.segment_active).reshape(-1)
+        check_set(
+            "active_segments",
+            set(int(i) for i in np.nonzero(seg_act)[0]),
+            self.active_segments,
+        )
+        pot = np.asarray(tm_state.segment_potential).reshape(-1)
         for s in range(self.S):
             if self.owner[s] is not None and pot[s] != self.potential[s]:
                 raise ParityError(

@@ -16,23 +16,34 @@ from .bami import OracleDecisions, OracleTM
 
 
 def extract_decisions(debug) -> OracleDecisions:
-    """Convert a TMDebug pytree (numpy-convertible) into OracleDecisions."""
-    winner = set(np.nonzero(np.asarray(debug.winner_mask))[0].tolist())
-    learning = set(np.nonzero(np.asarray(debug.learning_segments))[0].tolist())
+    """Convert a TMDebug pytree (numpy-convertible) into OracleDecisions.
 
-    slots = np.asarray(debug.new_segment_slots)
-    cells = np.asarray(debug.new_segment_cells)
-    valid = np.asarray(debug.new_segment_valid)
+    Slot ids are global (c * G + g, matching the oracle's flattening of
+    the per-column pool); cells are global ids.
+    """
+    winner = set(np.nonzero(np.asarray(debug.winner_mask))[0].tolist())
+
+    learning_cg = np.asarray(debug.learning_segments)      # (C, G)
+    G = learning_cg.shape[1]
+    learning = set(
+        (int(c) * G + int(g))
+        for c, g in zip(*np.nonzero(learning_cg))
+    )
+
+    new_cg = np.asarray(debug.new_segments)                # (C, G)
+    seg_cell = np.asarray(debug.seg_cell)                  # (C, G)
+    D = np.asarray(debug.winner_mask).shape[0] // new_cg.shape[0]
     new_segments = [
-        (int(s), int(c)) for s, c, v in zip(slots, cells, valid) if v
+        (int(c) * G + int(g), int(c) * D + int(seg_cell[c, g]))
+        for c, g in zip(*np.nonzero(new_cg))
     ]
 
-    grown_mask = np.asarray(debug.grown_mask)
-    grown_cell = np.asarray(debug.grown_cell)
+    grown_mask = np.asarray(debug.grown_mask)              # (C, G, K)
+    cell_tab = np.asarray(debug.synapse_cell)              # (C, G, K)
     grown = {}
-    ks, ss = np.nonzero(grown_mask)
-    for k, s in zip(ks.tolist(), ss.tolist()):
-        grown.setdefault(s, set()).add(int(grown_cell[k, s]))
+    cs, gs, ks = np.nonzero(grown_mask)
+    for c, g, k in zip(cs.tolist(), gs.tolist(), ks.tolist()):
+        grown.setdefault(c * G + g, set()).add(int(cell_tab[c, g, k]))
     return OracleDecisions(
         winner_cells=winner,
         learning_segments=learning,
@@ -45,24 +56,47 @@ def oracle_from_state(cfg, tm_state) -> OracleTM:
     """Build an oracle mid-stream from a JAX TMState (the analogue of
     `copy_custom`, `reference_implementations.py:48-88`)."""
     o = OracleTM(cfg)
-    owner = np.asarray(tm_state.segment_owner)
-    cell_tab = np.asarray(tm_state.synapse_cell)
-    perm_tab = np.asarray(tm_state.synapse_perm)
+    C, D, G = cfg.column_dim, cfg.cell_dim, cfg.segments_per_column
+    seg_cell = np.asarray(tm_state.seg_cell)
+    cell_tab = np.asarray(tm_state.synapse_cell).reshape(C, G, -1)
+    perm_tab = np.asarray(tm_state.synapse_perm).reshape(C, G, -1)
+    K = cell_tab.shape[-1]
     for s in range(cfg.segment_capacity):
-        if owner[s] < cfg.num_cells:
-            o.owner[s] = int(owner[s])
+        c, g = divmod(s, G)
+        if seg_cell[c, g] < D:
+            o.owner[s] = int(c * D + seg_cell[c, g])
             o.synapses[s] = {
-                int(cell_tab[k, s]): float(perm_tab[k, s])
-                for k in range(cfg.synapse_capacity)
-                if cell_tab[k, s] >= 0
+                int(cell_tab[c, g, k]): float(perm_tab[c, g, k])
+                for k in range(K)
+                if cell_tab[c, g, k] >= 0
             }
-    o.active_cells = set(np.nonzero(np.asarray(tm_state.active_mask))[0].tolist())
-    o.winner_cells = set(np.nonzero(np.asarray(tm_state.winner_mask))[0].tolist())
-    o.predicted_cells = set(np.nonzero(np.asarray(tm_state.prediction))[0].tolist())
-    o.potential = np.asarray(tm_state.segment_potential).tolist()
-    o.matching = set(np.nonzero(np.asarray(tm_state.segment_matching))[0].tolist())
+
+    def bits_to_set(cols, bits):
+        cells = set()
+        cols = np.asarray(cols)
+        bits = np.asarray(bits)
+        for a in range(cols.shape[0]):
+            for w in range(bits.shape[1]):
+                word = int(bits[a, w])
+                for b in range(32):
+                    d = w * 32 + b
+                    if d < D and (word >> b) & 1:
+                        cells.add(int(cols[a]) * D + d)
+        return cells
+
+    o.active_cells = bits_to_set(tm_state.active_cols, tm_state.active_bits)
+    o.winner_cells = bits_to_set(tm_state.active_cols, tm_state.winner_bits)
+    o.predicted_cells = set(
+        np.nonzero(np.asarray(tm_state.prediction).reshape(-1))[0].tolist()
+    )
+    o.potential = np.asarray(tm_state.segment_potential).reshape(-1).tolist()
+    o.matching = set(
+        np.nonzero(np.asarray(tm_state.segment_matching).reshape(-1))[0]
+        .tolist()
+    )
     o.active_segments = set(
-        np.nonzero(np.asarray(tm_state.segment_active))[0].tolist()
+        np.nonzero(np.asarray(tm_state.segment_active).reshape(-1))[0]
+        .tolist()
     )
     o.step_count = int(np.asarray(tm_state.step))
     return o

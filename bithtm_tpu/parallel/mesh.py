@@ -45,8 +45,10 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
 
 def batched_state_specs(state: HTMState) -> HTMState:
     """PartitionSpecs for a *batched* HTMState (leading stream axis on
-    every leaf): streams over data; segment pool (S) and SP columns (C)
-    over model; cell-indexed recurrent vectors replicated over model."""
+    every leaf): streams over data; the column axis C — which fronts
+    both the SP matrices and the per-column TM segment pool — over
+    model. The compact active-set lists (A-sized) are replicated over
+    model: they are the only cross-column state and they are tiny."""
     d, m = DATA_AXIS, MODEL_AXIS
     sp = SPState(
         permanence=P(d, m, None),   # (B, C, I)
@@ -54,13 +56,14 @@ def batched_state_specs(state: HTMState) -> HTMState:
         duty_cycle=P(d, m),         # (B, C)
     )
     tm = TMState(
-        synapse_cell=P(d, None, m),   # (B, K, S)
-        synapse_perm=P(d, None, m),   # (B, K, S)
-        segment_owner=P(d, m),        # (B, S)
-        active_mask=P(d),             # (B, N) replicated over model
-        winner_mask=P(d),
-        prediction=P(d),
-        segment_potential=P(d, m),    # (B, S)
+        synapse_cell=P(d, m, None),   # (B, C, G*K)
+        synapse_perm=P(d, m, None),   # (B, C, G*K)
+        seg_cell=P(d, m),             # (B, C, G)
+        active_cols=P(d),             # (B, A) replicated over model
+        active_bits=P(d),             # (B, A, W)
+        winner_bits=P(d),             # (B, A, W)
+        prediction=P(d, m),           # (B, C, D)
+        segment_potential=P(d, m),    # (B, C, G)
         segment_matching=P(d, m),
         segment_active=P(d, m),
         step=P(d),

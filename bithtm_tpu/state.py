@@ -6,15 +6,20 @@ immutable pytree threaded through a functional step, so the whole model
 scans under `lax.scan`, vmaps over independent streams, checkpoints as a
 pytree, and shards with `jax.sharding`.
 
-Layout notes (TPU):
-  * Synapse tables are **synapse-major** ``(K, S)`` so the long, padded
-    segment axis S (a multiple of 128) is the lane dimension. The
-    reference stores segment-major ragged rows (`projections.py:42-44`).
-  * Cell-indexed vectors are flat ``(num_cells,)``; reshape to
-    ``(column_dim, cell_dim)`` is free.
-  * Sentinels: ``synapse_cell == -1`` marks a dead/free synapse slot
-    (reference: packed `invalid_output_edge`, `projections.py:36`);
-    ``segment_owner == num_cells`` marks an unallocated segment slot.
+TPU layout notes:
+  * The synapse pool is **per-column**: column ``c`` owns slots
+    ``(c, 0..G)``; flat tables are ``(C, G*K)`` so the minor axis is a
+    multiple of 128 lanes (no tile padding) and per-column rows are
+    contiguous (cheap row gather/scatter of the A active columns).
+  * Segment owners are stored as cell-within-column (`seg_cell`,
+    sentinel = cell_dim), making every per-cell reduction a one-hot
+    over the tiny D axis instead of a 65k-wide scatter (the reference
+    scatters over a global `segment_bundle`, `projections.py:226`).
+  * The recurrent active/winner sets are stored compactly as
+    ``(A,) cols + (A, W) uint32 bitmasks`` (see `ops/active_set.py`) —
+    the losslessly exact encoding of HTM's fixed top-k sparsity.
+  * Sentinels: ``synapse_cell == -1`` marks a free synapse slot
+    (reference: packed `invalid_output_edge`, `projections.py:36`).
 """
 
 from __future__ import annotations
@@ -45,19 +50,19 @@ class TMState(struct.PyTreeNode):
 
     Pool (replaces `SparseProjection`'s dual-index DynamicArray2D graph,
     `projections.py:27-44`):
-      synapse_cell: (K, S) int32 presynaptic cell per synapse slot, -1 free
-      synapse_perm: (K, S) float32 permanence, -1.0 where free
-      segment_owner: (S,) int32 owner cell (segment_bundle,
-        `projections.py:226`), num_cells where unallocated
+      synapse_cell: (C, G*K) int32  global presynaptic cell, -1 free
+      synapse_perm: (C, G*K) float32  permanence, -1.0 where free
+      seg_cell:     (C, G) int32  owner cell within column, D = unallocated
 
     Recurrent state (mirrors `TemporalMemory.State`, `networks.py:39-46`,
     and the distal `PredictiveProjection.State`, `projections.py:195-203`):
-      active_mask: (N,) bool   cell activation this step
-      winner_mask: (N,) bool   winner cells this step
-      prediction:  (N,) bool   cell predictive state for next step
-      segment_potential: (S,) int32  potential-synapse counts
-      segment_matching:  (S,) bool   potential >= matching_threshold
-      segment_active:    (S,) bool   connected-active >= activation_threshold
+      active_cols: (A,) int32     previous step's active columns
+      active_bits: (A, W) uint32  previous active cells (compact bitmask)
+      winner_bits: (A, W) uint32  previous winner cells (subset of active)
+      prediction:  (C, D) bool    cell predictive state for next step
+      segment_potential: (C, G) int32  potential-synapse counts
+      segment_matching:  (C, G) bool   potential >= matching_threshold
+      segment_active:    (C, G) bool   connected-active >= activation_thr
       step: () int32  timestep counter; step 0 has no previous distal
         state, so learning is skipped exactly like the reference's
         `update(prev_state=None)` early-return (`projections.py:258-259`).
@@ -65,10 +70,11 @@ class TMState(struct.PyTreeNode):
 
     synapse_cell: jax.Array
     synapse_perm: jax.Array
-    segment_owner: jax.Array
+    seg_cell: jax.Array
 
-    active_mask: jax.Array
-    winner_mask: jax.Array
+    active_cols: jax.Array
+    active_bits: jax.Array
+    winner_bits: jax.Array
     prediction: jax.Array
     segment_potential: jax.Array
     segment_matching: jax.Array
@@ -102,17 +108,20 @@ def sp_init(key: jax.Array, cfg: SPConfig) -> SPState:
 def tm_init(cfg: TMConfig) -> TMState:
     """Empty pool: zero segments, zero synapses (`projections.py:28-44`
     starts with zero output rows; `networks.py:59-65` empty state)."""
-    K, S, N = cfg.synapse_capacity, cfg.segment_capacity, cfg.num_cells
+    C, D, G, K = (cfg.column_dim, cfg.cell_dim, cfg.segments_per_column,
+                  cfg.synapse_capacity)
+    A, W = cfg.active_columns, cfg.cell_words
     return TMState(
-        synapse_cell=jnp.full((K, S), -1, jnp.int32),
-        synapse_perm=jnp.full((K, S), -1.0, jnp.float32),
-        segment_owner=jnp.full((S,), N, jnp.int32),
-        active_mask=jnp.zeros((N,), jnp.bool_),
-        winner_mask=jnp.zeros((N,), jnp.bool_),
-        prediction=jnp.zeros((N,), jnp.bool_),
-        segment_potential=jnp.zeros((S,), jnp.int32),
-        segment_matching=jnp.zeros((S,), jnp.bool_),
-        segment_active=jnp.zeros((S,), jnp.bool_),
+        synapse_cell=jnp.full((C, G * K), -1, jnp.int32),
+        synapse_perm=jnp.full((C, G * K), -1.0, jnp.float32),
+        seg_cell=jnp.full((C, G), D, jnp.int32),
+        active_cols=jnp.zeros((A,), jnp.int32),
+        active_bits=jnp.zeros((A, W), jnp.uint32),
+        winner_bits=jnp.zeros((A, W), jnp.uint32),
+        prediction=jnp.zeros((C, D), jnp.bool_),
+        segment_potential=jnp.zeros((C, G), jnp.int32),
+        segment_matching=jnp.zeros((C, G), jnp.bool_),
+        segment_active=jnp.zeros((C, G), jnp.bool_),
         step=jnp.zeros((), jnp.int32),
     )
 

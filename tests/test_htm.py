@@ -113,6 +113,5 @@ def test_inference_mode_frozen_graph():
     after = jax.device_get(state2)
     np.testing.assert_array_equal(before.tm.synapse_perm,
                                   after.tm.synapse_perm)
-    np.testing.assert_array_equal(before.tm.segment_owner,
-                                  after.tm.segment_owner)
+    np.testing.assert_array_equal(before.tm.seg_cell, after.tm.seg_cell)
     np.testing.assert_array_equal(before.sp.permanence, after.sp.permanence)

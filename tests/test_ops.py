@@ -1,77 +1,100 @@
-"""Unit tests for the static-shape ragged-op replacements
-(`bithtm_tpu/ops/masked.py`, `ops/growth.py`) against straightforward
-NumPy models of the reference semantics (`utils.py:13-76`,
-`projections.py:79-95`)."""
+"""Unit tests for the compact active-set ops (`bithtm_tpu/ops/active_set`)
+— the scatter/gather-free primitives that replace the reference's
+ragged-index kernels (`utils.py:13-76`) and push/pull projection modes
+(`projections.py:163-178`) — against direct NumPy models."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bithtm_tpu.ops.growth import allocate_segments
-from bithtm_tpu.ops.masked import compact_mask, rank_in_mask, slot_fill
+from bithtm_tpu.ops.active_set import (
+    argmax_onehot,
+    column_mask_from_cols,
+    dense_from_compact,
+    pack_bits,
+    percell_max,
+    percell_sum,
+    rank_ascending,
+    synapse_activation,
+    take_percell,
+    unpack_bits,
+)
 
 
-def test_compact_mask_basic():
-    mask = jnp.asarray([0, 1, 1, 0, 1, 0, 0, 1], bool)
-    idx, valid = compact_mask(mask, 6, 99)
-    np.testing.assert_array_equal(np.asarray(idx), [1, 2, 4, 7, 99, 99])
-    np.testing.assert_array_equal(np.asarray(valid),
-                                  [True, True, True, True, False, False])
+def test_pack_unpack_roundtrip():
+    rng = np.random.RandomState(0)
+    for D in (4, 32, 40, 64):
+        mask = rng.rand(5, D) < 0.4
+        bits = pack_bits(jnp.asarray(mask))
+        assert bits.shape == (5, (D + 31) // 32)
+        back = np.asarray(unpack_bits(bits, D))
+        np.testing.assert_array_equal(back, mask)
 
 
-def test_compact_mask_overflow_keeps_lowest():
-    mask = jnp.ones(10, bool)
-    idx, valid = compact_mask(mask, 4, 10)
-    np.testing.assert_array_equal(np.asarray(idx), [0, 1, 2, 3])
-    assert np.asarray(valid).all()
+def test_dense_from_compact():
+    cols = jnp.asarray([3, 0], jnp.int32)
+    rows = jnp.asarray([[1, 0, 1, 0], [0, 1, 0, 0]], bool)
+    dense = np.asarray(
+        dense_from_compact(cols, pack_bits(rows), 6, 4)
+    )
+    expect = np.zeros((6, 4), bool)
+    expect[3] = [1, 0, 1, 0]
+    expect[0] = [0, 1, 0, 0]
+    np.testing.assert_array_equal(dense, expect)
 
 
-def test_rank_in_mask():
+def test_column_mask_from_cols():
+    m = np.asarray(column_mask_from_cols(jnp.asarray([1, 4], jnp.int32), 6))
+    np.testing.assert_array_equal(m, [0, 1, 0, 0, 1, 0])
+
+
+def test_synapse_activation_matches_dense_gather():
+    rng = np.random.RandomState(1)
+    C, D, A = 16, 4, 3
+    for D in (4, 40):  # single- and multi-word bitmask paths
+        N = C * D
+        # random active set over A columns
+        cols = np.sort(rng.choice(C, A, replace=False)).astype(np.int32)
+        rows = rng.rand(A, D) < 0.5
+        dense = np.zeros((C, D), bool)
+        dense[cols] = rows
+        syn = rng.randint(-1, N, size=(7, 11)).astype(np.int32)
+        got = np.asarray(
+            synapse_activation(
+                jnp.asarray(syn), jnp.asarray(cols),
+                pack_bits(jnp.asarray(rows)), D,
+            )
+        )
+        flat = dense.reshape(-1)
+        expect = np.where(syn >= 0, flat[np.clip(syn, 0, N - 1)], False)
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_percell_reductions():
+    # 2 columns, G=4 slots, D=3 cells
+    seg_cell = jnp.asarray([[0, 2, 0, 3], [1, 3, 3, 3]], jnp.int32)  # 3=unalloc
+    vals = jnp.asarray([[1.0, 5.0, 2.0, 9.0], [4.0, 9.0, 9.0, 9.0]])
+    mx = np.asarray(percell_max(seg_cell, vals, 3, 0.0))
+    np.testing.assert_array_equal(mx, [[2.0, 0.0, 5.0], [0.0, 4.0, 0.0]])
+    sm = np.asarray(percell_sum(seg_cell, jnp.ones_like(vals), 3))
+    np.testing.assert_array_equal(sm, [[2, 0, 1], [0, 1, 0]])
+
+
+def test_take_percell():
+    values = jnp.asarray([[1.0, 2.0, 3.0]])
+    seg_cell = jnp.asarray([[2, 0, 3, 1]], jnp.int32)  # 3 = sentinel
+    got = np.asarray(take_percell(values, seg_cell, 3, -7.0))
+    np.testing.assert_array_equal(got, [[3.0, 1.0, -7.0, 2.0]])
+
+
+def test_rank_ascending():
     m = jnp.asarray([[1, 0, 1, 1], [0, 0, 0, 1]], bool)
-    r = np.asarray(rank_in_mask(m))
+    r = np.asarray(rank_ascending(m))
     assert r[0, 0] == 0 and r[0, 2] == 1 and r[0, 3] == 2
     assert r[1, 3] == 0
 
 
-def test_slot_fill_fills_in_order():
-    dest = jnp.asarray([[-1, 5, -1, -1], [7, 8, -1, 9]], jnp.int32)
-    free = dest < 0
-    src = jnp.asarray([[10, 11, 12], [20, 21, 22]], jnp.int32)
-    chosen = jnp.asarray([[1, 0, 1], [1, 1, 1]], bool)
-    new, wrote, overflow = slot_fill(dest, free, src, chosen)
-    # row 0: candidates 10, 12 into slots 0, 2
-    np.testing.assert_array_equal(np.asarray(new)[0], [10, 5, 12, -1])
-    # row 1: one free slot, three candidates -> 20 lands, 2 overflow
-    np.testing.assert_array_equal(np.asarray(new)[1], [7, 8, 20, 9])
-    np.testing.assert_array_equal(np.asarray(overflow), [0, 2])
-
-
-def test_slot_fill_no_chosen():
-    dest = jnp.full((1, 3), -1, jnp.int32)
-    new, wrote, overflow = slot_fill(
-        dest, dest < 0, jnp.zeros((1, 2), jnp.int32), jnp.zeros((1, 2), bool)
-    )
-    np.testing.assert_array_equal(np.asarray(new), dest)
-    assert not np.asarray(wrote).any()
-
-
-def test_allocate_segments_recycle_before_grow():
-    # slots 0..5; owners: 0,1 allocated; counts: slot1 has few synapses
-    N = 100
-    owner = jnp.asarray([3, 7, N, N, N, N], jnp.int32)
-    syn_count = jnp.asarray([20, 2, 0, 0, 0, 0], jnp.int32)
-    cells, valid = jnp.asarray([11, 12, 13], jnp.int32), jnp.ones(3, bool)
-    slots, ok = allocate_segments(owner, syn_count, cells, valid, 15, N)
-    # slot 1 (allocated, recyclable) first, then fresh slots 2, 3
-    np.testing.assert_array_equal(np.asarray(slots), [1, 2, 3])
-    assert np.asarray(ok).all()
-
-
-def test_allocate_segments_pool_exhausted():
-    N = 10
-    owner = jnp.asarray([0, 1], jnp.int32)
-    syn_count = jnp.asarray([20, 20], jnp.int32)  # nothing eligible
-    cells, valid = jnp.asarray([5], jnp.int32), jnp.ones(1, bool)
-    slots, ok = allocate_segments(owner, syn_count, cells, valid, 15, N)
-    assert not np.asarray(ok).any()
-    assert np.asarray(slots)[0] == 2  # S = drop sentinel
+def test_argmax_onehot_exactly_one():
+    v = jnp.asarray([[3.0, 7.0, 7.0], [1.0, 0.0, -2.0]])
+    oh = np.asarray(argmax_onehot(v))
+    assert oh.sum(axis=1).tolist() == [1, 1]
+    assert oh[0, 1] and oh[1, 0]  # ties -> lowest index (jnp.argmax)

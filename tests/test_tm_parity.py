@@ -14,23 +14,20 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from bithtm_tpu import TMConfig, tm_init
 from bithtm_tpu.models.temporal_memory import tm_step
-from bithtm_tpu.oracle.bami import OracleTM
+from bithtm_tpu.oracle.bami import OracleDecisions, OracleTM
 from bithtm_tpu.oracle.transplant import extract_decisions, oracle_from_state
 
 
-def make_cfg(**kw):
+def make_cfg(k_active=5, **kw):
     base = dict(
         column_dim=32,
         cell_dim=4,
-        segment_capacity=128,
+        active_columns=k_active,
+        segments_per_column=4,
         synapse_capacity=12,
-        max_learning_segments=64,
-        max_winner_cells=128,
-        max_new_segments=8,
         segment_activation_threshold=2,
         segment_matching_threshold=2,
         segment_sampling_synapses=4,
@@ -45,7 +42,7 @@ def make_cfg(**kw):
     return TMConfig(**base)
 
 
-def run_parity(cfg, steps, seed, k_active, learn_schedule=None):
+def run_parity(cfg, steps, seed, learn_schedule=None):
     step_fn = jax.jit(
         functools.partial(tm_step, cfg),
         static_argnames=("learning", "compute_winner", "return_debug"),
@@ -55,22 +52,19 @@ def run_parity(cfg, steps, seed, k_active, learn_schedule=None):
     rng = np.random.RandomState(seed)
     key = jax.random.key(seed)
     for t in range(steps):
-        cols = np.sort(rng.choice(cfg.column_dim, size=k_active,
-                                  replace=False))
-        mask = np.zeros(cfg.column_dim, bool)
-        mask[cols] = True
+        cols = np.sort(rng.choice(cfg.column_dim, size=cfg.active_columns,
+                                  replace=False)).astype(np.int32)
         learning = True if learn_schedule is None else learn_schedule(t)
         key, sub = jax.random.split(key)
         if learning:
             state, out, debug = step_fn(
-                state, sub, jnp.asarray(mask),
+                state, sub, jnp.asarray(cols),
                 learning=True, return_debug=True,
             )
             decisions = extract_decisions(jax.device_get(debug))
         else:
-            state, out = step_fn(state, sub, jnp.asarray(mask),
+            state, out = step_fn(state, sub, jnp.asarray(cols),
                                  learning=False)
-            from bithtm_tpu.oracle.bami import OracleDecisions
             decisions = OracleDecisions(
                 winner_cells=set(
                     np.nonzero(np.asarray(out.winner_mask))[0].tolist()
@@ -84,36 +78,50 @@ def run_parity(cfg, steps, seed, k_active, learn_schedule=None):
 
 
 def test_parity_full_learning_200_steps():
-    run_parity(make_cfg(), steps=200, seed=0, k_active=5)
+    run_parity(make_cfg(), steps=200, seed=0)
 
 
 def test_parity_small_cells_heavy_reuse():
     # 2 cells/column, few columns -> heavy segment reuse and punishment
-    cfg = make_cfg(column_dim=16, cell_dim=2, segment_capacity=64)
-    run_parity(cfg, steps=200, seed=1, k_active=4)
+    cfg = make_cfg(k_active=4, column_dim=16, cell_dim=2)
+    run_parity(cfg, steps=200, seed=1)
 
 
 def test_parity_tight_pool_recycling():
-    # Tiny pool forces recycle-before-grow continuously
-    cfg = make_cfg(segment_capacity=32, max_new_segments=8)
-    run_parity(cfg, steps=150, seed=2, k_active=5)
+    # One slot per column forces recycle-before-grow continuously
+    cfg = make_cfg(segments_per_column=1)
+    run_parity(cfg, steps=150, seed=2)
 
 
 def test_parity_mixed_inference():
     # alternate learning and inference; inference must not mutate
     cfg = make_cfg()
-    run_parity(cfg, steps=120, seed=3, k_active=5,
+    run_parity(cfg, steps=120, seed=3,
                learn_schedule=lambda t: t % 3 != 1)
 
 
 def test_parity_tiny_synapse_capacity_overflow():
     # K too small: growth hits the free-slot cap; oracle models the cap
     cfg = make_cfg(synapse_capacity=5, segment_sampling_synapses=4)
-    run_parity(cfg, steps=150, seed=4, k_active=5)
+    run_parity(cfg, steps=150, seed=4)
+
+
+def test_parity_tiny_winner_capacity():
+    # candidate list narrower than the winner count: truncation by
+    # ascending cell id must match between oracle and JAX step
+    cfg = make_cfg(winner_capacity=3)
+    run_parity(cfg, steps=150, seed=7)
+
+
+def test_parity_multiword_bitmask():
+    # cell_dim > 32 exercises the multi-word uint32 bitmask path
+    cfg = make_cfg(k_active=4, column_dim=16, cell_dim=40,
+                   segments_per_column=2)
+    run_parity(cfg, steps=100, seed=6)
 
 
 def test_oracle_from_state_midstream():
     cfg = make_cfg()
-    state, _ = run_parity(cfg, steps=50, seed=5, k_active=5)
+    state, _ = run_parity(cfg, steps=50, seed=5)
     o = oracle_from_state(cfg, jax.device_get(state))
     o.compare(jax.device_get(state))
