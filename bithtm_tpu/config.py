@@ -67,10 +67,15 @@ class TMConfig:
     active_columns: int
 
     # Static pool capacities (TPU-native; no reference counterpart).
-    segments_per_column: int = 16   # G: segment slots per column
+    # The reference workload (100 patterns, 2% sparsity) stabilises at
+    # ~2.5 segments/column; 8 slots give 3x headroom with zero drops
+    # (drops are counted in metrics if a workload ever exceeds them).
+    segments_per_column: int = 8    # G: segment slots per column
     synapse_capacity: int = 48      # K: synapse slots per segment
     winner_capacity: int = 0        # W: growth-candidate list width
                                     # (0 = auto: min(A * D, 128))
+    growth_capacity: int = 0        # L: segments growing per step
+                                    # (0 = auto: min(A * G, 128))
 
     # Distal permanence dynamics (projections.py:205-219).
     permanence_initial: float = 0.21
@@ -111,6 +116,16 @@ class TMConfig:
         if self.winner_capacity:
             return self.winner_capacity
         return min(self.active_columns * self.cell_dim, 128)
+
+    @property
+    def resolved_growth_capacity(self) -> int:
+        """Static width of the per-step growing-segment list. Learning
+        segments are ~1 per winner cell (~1 per active column), so 128
+        never truncates in practice; the O(L * Wc^2) selection math runs
+        on this compact list instead of all A*G active-column slots."""
+        if self.growth_capacity:
+            return self.growth_capacity
+        return min(self.active_columns * self.segments_per_column, 128)
 
 
 @dataclasses.dataclass(frozen=True)

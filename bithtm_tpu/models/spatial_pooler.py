@@ -4,6 +4,13 @@ Pipeline mirrors `SpatialPooler.process` (`networks.py:26-35`):
 overlaps -> boosting -> global inhibition -> (if learning) Hebbian
 proximal update; the boosting duty-cycle EMA updates even when
 learning=False (`networks.py:33`).
+
+TPU notes: the overlap is an int8 MXU matmul (`ops/overlap.py`). The
+Hebbian update touches only the k active rows, but a row scatter on the
+(C, I) tables lowers to layout-flipping copies of the whole table under
+vmap; a masked full-table elementwise update is cheaper (one fused
+read+write pass, no relayout). The int8 connected matrix is derived
+from the permanences inside the same pass instead of being cached.
 """
 
 from __future__ import annotations
@@ -39,15 +46,12 @@ def sp_step(cfg: SPConfig, state: SPState, input_bits: jnp.ndarray,
     connected = state.connected
     if learning:
         # Hebbian update on the k active rows only (`projections.py:23-24`):
-        # delta = input * (inc + dec) - dec.
+        # delta = input * (inc + dec) - dec, masked to active rows.
         delta = input_bits.astype(jnp.float32) * (
             cfg.permanence_increment + cfg.permanence_decrement
         ) - cfg.permanence_decrement
-        new_rows = permanence[active_columns] + delta[None, :]
-        permanence = permanence.at[active_columns].set(new_rows)
-        connected = connected.at[active_columns].set(
-            (new_rows >= cfg.permanence_threshold).astype(jnp.int8)
-        )
+        permanence = permanence + active_mask[:, None] * delta[None, :]
+        connected = (permanence >= cfg.permanence_threshold).astype(jnp.int8)
 
     duty = duty_cycle_update(state.duty_cycle, active_mask,
                              cfg.duty_cycle_momentum)

@@ -59,6 +59,7 @@ from ..ops.active_set import (
     seg_broadcast,
     seg_reduce_counts,
     synapse_activation,
+    table_update,
     take_percell,
     unpack_bits,
 )
@@ -188,16 +189,19 @@ def _grow(cfg: TMConfig, key, syn_rows, perm_rows, learn_rows,
     written into free slots in ascending candidate/slot order
     (`utils.py:44-76`).
 
+    The growing segments (typically ~1 per active column out of the
+    A*G active-column slots) are first compacted to an L-wide list so
+    the O(Wc)-and-O(Wc^2) selection math runs on ~128 rows, not ~656.
+
     Returns (syn_rows, perm_rows, wrote (A,G,K) bool, n_grown, overflow,
-    n_winners_dropped).
+    n_winners_dropped, n_growth_dropped).
     """
     A, D, G, K = (cfg.active_columns, cfg.cell_dim, cfg.segments_per_column,
                   cfg.synapse_capacity)
     Wc = cfg.resolved_winner_capacity
+    L = cfg.resolved_growth_capacity
     samp = cfg.segment_sampling_synapses
 
-    live = syn_rows >= 0
-    row_potential = (act_prev_rows & live).sum(axis=-1, dtype=jnp.int32)
     n_winners = jax.lax.population_count(prev_winner_bits).sum().astype(
         jnp.int32
     )
@@ -213,55 +217,85 @@ def _grow(cfg: TMConfig, key, syn_rows, perm_rows, learn_rows,
     cand_cell, cand_valid = compact_first_k(grid_valid, grid_cell, Wc)
     n_winners_eff = jnp.minimum(n_winners, Wc)
 
+    # --- compact the growing segments to L rows (ascending slot id) ---
+    learn_flat = learn_rows.reshape(A * G)
+    lidx = jnp.nonzero(learn_flat, size=L, fill_value=A * G)[0].astype(
+        jnp.int32
+    )                                                            # (L,)
+    lvalid = lidx < A * G
+    syn_l = jnp.take(syn_rows.reshape(A * G, K), lidx, axis=0,
+                     mode="clip")                                # (L, K)
+    act_l = jnp.take(act_prev_rows.reshape(A * G, K), lidx, axis=0,
+                     mode="clip")
+    live_l = syn_l >= 0
+    row_potential = (act_l & live_l).sum(axis=-1, dtype=jnp.int32)
     n_grow = jnp.where(
-        learn_rows,
+        lvalid,
         jnp.clip(samp - row_potential, 0, jnp.minimum(samp, n_winners_eff)),
         0,
-    )                                                            # (A, G)
+    )                                                            # (L,)
 
     # Priorities; existing targets and non-winner slots -> +inf
     # (projections.py:120-121's put_along_axis(..., inf) trick).
-    pri = jax.random.uniform(key, (A, G, Wc), jnp.float32)
-    existing = (syn_rows[:, :, :, None] == cand_cell).any(axis=2)  # (A,G,Wc)
+    pri = jax.random.uniform(key, (L, Wc), jnp.float32)
+    existing = (syn_l[:, :, None] == cand_cell).any(axis=1)      # (L, Wc)
     pri = jnp.where(cand_valid & ~existing, pri, jnp.inf)
 
     # Select the n_grow smallest priorities per row by pairwise rank
     # count (Wc is narrow, so O(Wc^2) vector compares beat any sort).
     rank = jnp.sum(
-        pri[:, :, None, :] < pri[:, :, :, None], axis=-1, dtype=jnp.int32
-    )                                                            # (A, G, Wc)
-    chosen = (pri < jnp.inf) & (rank < n_grow[:, :, None])
+        pri[:, None, :] < pri[:, :, None], axis=-1, dtype=jnp.int32
+    )                                                            # (L, Wc)
+    chosen = (pri < jnp.inf) & (rank < n_grow[:, None])
 
     # Fill free slots: r-th chosen candidate -> r-th free slot, both
     # ascending (replace_free semantics, utils.py:44-76), one-hot matched
     # so no scatter is needed.
-    free = ~live
-    free_rank = rank_ascending(free)                             # (A, G, K)
-    chosen_rank = rank_ascending(chosen)                         # (A, G, Wc)
-    n_chosen = chosen.sum(axis=-1, dtype=jnp.int32)              # (A, G)
-    match = chosen[:, :, None, :] & (
-        chosen_rank[:, :, None, :] == free_rank[:, :, :, None]
-    )                                                            # (A,G,K,Wc)
+    free = ~live_l
+    free_rank = rank_ascending(free)                             # (L, K)
+    chosen_rank = rank_ascending(chosen)                         # (L, Wc)
+    n_chosen = chosen.sum(axis=-1, dtype=jnp.int32)              # (L,)
+    match = chosen[:, None, :] & (
+        chosen_rank[:, None, :] == free_rank[:, :, None]
+    )                                                            # (L, K, Wc)
     gathered = jnp.sum(match * cand_cell, axis=-1, dtype=jnp.int32)
-    wrote = free & (free_rank < n_chosen[:, :, None])
-    syn_rows = jnp.where(wrote, gathered, syn_rows)
+    wrote_l = free & (free_rank < n_chosen[:, None])
+    new_syn_l = jnp.where(wrote_l, gathered, syn_l)
+
+    # --- scatter the L rows back into the (A, G, K) active-column rows
+    syn_rows = (
+        syn_rows.reshape(A * G, K).at[lidx].set(new_syn_l, mode="drop")
+        .reshape(A, G, K)
+    )
+    wrote = (
+        jnp.zeros((A * G, K), jnp.bool_).at[lidx].set(wrote_l, mode="drop")
+        .reshape(A, G, K)
+    )
     perm_rows = jnp.where(wrote, cfg.permanence_initial, perm_rows)
+
     n_free = free.sum(axis=-1, dtype=jnp.int32)
-    overflow = jnp.maximum(n_chosen - n_free, 0).sum(dtype=jnp.int32)
-    return (syn_rows, perm_rows, wrote, wrote.sum(dtype=jnp.int32),
-            overflow, n_winners - n_winners_eff)
+    overflow = (
+        jnp.maximum(n_chosen - n_free, 0) * lvalid
+    ).sum(dtype=jnp.int32)
+    n_growth_dropped = (
+        learn_flat.sum(dtype=jnp.int32) - lvalid.sum(dtype=jnp.int32)
+    )
+    return (syn_rows, perm_rows, wrote, wrote_l.sum(dtype=jnp.int32),
+            overflow, n_winners - n_winners_eff, n_growth_dropped)
 
 
 def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
-           active_cols, col_active, pred_rows, winner_rows,
-           cell_max_j, seg_j):
-    """Step 3: all graph mutation (`PredictiveProjection.update`,
-    `projections.py:257-293`). Learns against the *previous* step's
-    activation/winners; a no-op on step 0 (prev distal state is None,
-    `projections.py:258-259`).
+           active_cols, pred_rows, winner_rows, cell_max_j, seg_j):
+    """Step 3 minus punishment: row-space graph mutation
+    (`PredictiveProjection.update`, `projections.py:257-293`). Learns
+    against the *previous* step's activation/winners; a no-op on step 0
+    (prev distal state is None, `projections.py:258-259`).
 
-    Full-table work stays flat (C, G*K); everything else happens on the
-    gathered (A, ...) active-column rows.
+    Everything happens on the gathered (A, ...) active-column rows,
+    written back into the flat tables at the end; the full-table
+    punishment pass is fused into the forward table kernel by the
+    caller (punished segments live only in non-active columns, so the
+    two mutations are disjoint).
     """
     C, D, G, K = (cfg.column_dim, cfg.cell_dim, cfg.segments_per_column,
                   cfg.synapse_capacity)
@@ -271,24 +305,10 @@ def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
     syn_flat = state.synapse_cell                               # (C, J)
     perm_flat = state.synapse_perm                              # (C, J)
 
-    # Synapse activity wrt the previous step's active cells — the one
-    # full-table pass of the learning phase.
-    act_prev = synapse_activation(
-        syn_flat, state.active_cols, state.active_bits, D
-    )                                                           # (C, J)
-
-    # --- punishment: full-table elementwise (projections.py:269,290-293)
-    punished = (
-        state.segment_matching & ~col_active[:, None] & has_prev
-    )                                                           # (C, G)
-    pun_flat = seg_broadcast(punished, G, K)                    # (C, J) 0/1
-    live = syn_flat >= 0
-    perm_pun = perm_flat - (
-        pun_flat * (act_prev & live) * jnp.float32(cfg.permanence_punishment)
-    )
-    dead = live & (perm_pun < 0.0)
-    syn_full = jnp.where(dead, -1, syn_flat)
-    perm_full = jnp.where(dead, -1.0, perm_pun)
+    # Synapse activity wrt the previous step's active cells: cached by
+    # the previous forward pass (the table is unchanged since), so the
+    # learning phase needs no activation pass of its own.
+    act_prev = state.synapse_act                                # (C, J)
 
     # --- learning-segment set in active-column row space
     # (projections.py:264-268)
@@ -334,14 +354,16 @@ def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
     perm_rows = jnp.where(dead_rows, -1.0, perm_rows)
 
     # --- synapse growth toward previous winners
-    syn_rows, perm_rows, wrote, n_grown, overflow, winners_dropped = _grow(
+    (syn_rows, perm_rows, wrote, n_grown, overflow, winners_dropped,
+     growth_dropped) = _grow(
         cfg, key, syn_rows, perm_rows, learn_rows, act_prev_rows,
         state.active_cols, state.winner_bits,
     )
 
-    # --- write the active-column rows back into the punished full table
-    syn_full = syn_full.at[active_cols].set(syn_rows.reshape(-1, J))
-    perm_full = perm_full.at[active_cols].set(perm_rows.reshape(-1, J))
+    # --- write the active-column rows back into the full tables (the
+    # punishment pass runs after this, touching only non-active columns)
+    syn_full = syn_flat.at[active_cols].set(syn_rows.reshape(-1, J))
+    perm_full = perm_flat.at[active_cols].set(perm_rows.reshape(-1, J))
     seg_cell = state.seg_cell.at[active_cols].set(segcell_rows)
 
     learning_full = (
@@ -358,15 +380,14 @@ def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
         "tm_new_segments": new_seg.sum(dtype=jnp.int32),
         "tm_grown_synapses": n_grown,
         "tm_learning_segments": learn_rows.sum(dtype=jnp.int32),
-        "tm_punished_segments": punished.sum(dtype=jnp.int32),
         # capacity-overflow counters (reference reallocates instead):
         "tm_dropped_new_segments": n_dropped,
         "tm_dropped_synapses": overflow,
         "tm_dropped_winner_candidates": winners_dropped,
+        "tm_dropped_growth_segments": growth_dropped,
     }
     debug = dict(
         learning_segments=learning_full,
-        punished_segments=punished,
         new_segments=new_seg_full,
         grown_mask=wrote_full,
     )
@@ -408,26 +429,42 @@ def tm_step(
         col_burst = ~pred_rows.any(axis=-1)
         winner_rows = jnp.zeros((A, D), jnp.bool_)
 
-    debug = None
-    if learning:
-        syn_full, perm_full, seg_cell, learn_metrics, debug = _learn(
-            cfg, state, k_grow, active_cols, col_active, pred_rows,
-            winner_rows, cell_max_j, seg_j,
-        )
-    else:
-        syn_full = state.synapse_cell
-        perm_full = state.synapse_perm
-        seg_cell = state.seg_cell
-        learn_metrics = {}
-
     # --- activation: predicted cells + full bursting columns
     # (networks.py:115-119)
     act_rows = pred_rows | col_burst[:, None]                  # (A, D)
     act_bits = pack_bits(act_rows)                             # (A, W)
 
+    debug = None
+    if learning:
+        syn_mid, perm_mid, seg_cell, learn_metrics, debug = _learn(
+            cfg, state, k_grow, active_cols, pred_rows,
+            winner_rows, cell_max_j, seg_j,
+        )
+        # punishment: matching segments of non-active columns
+        # (projections.py:269,290-293), fused with the forward
+        # activation pass into one full-table kernel (disjoint from the
+        # active-column rows _learn just wrote).
+        punished = (
+            state.segment_matching & ~col_active[:, None] & (state.step > 0)
+        )                                                      # (C, G)
+        pun_flat = seg_broadcast(punished, G, K)               # (C, J) 0/1
+        syn_full, perm_full, act_now = table_update(
+            syn_mid, perm_mid, state.synapse_act, pun_flat,
+            active_cols, act_bits, D, cfg.permanence_punishment,
+        )
+        learn_metrics["tm_punished_segments"] = punished.sum(
+            dtype=jnp.int32
+        )
+        debug["punished_segments"] = punished
+    else:
+        syn_full = state.synapse_cell
+        perm_full = state.synapse_perm
+        seg_cell = state.seg_cell
+        learn_metrics = {}
+        act_now = synapse_activation(syn_full, active_cols, act_bits, D)
+
     # --- distal forward pass -> next prediction
     # (networks.py:121-122, projections.py:245-255)
-    act_now = synapse_activation(syn_full, active_cols, act_bits, D)
     potential = seg_reduce_counts(act_now, G, K)               # (C, G)
     connected = seg_reduce_counts(
         act_now & (perm_full >= cfg.permanence_threshold), G, K
@@ -445,6 +482,7 @@ def tm_step(
         active_cols=active_cols,
         active_bits=act_bits,
         winner_bits=pack_bits(winner_rows),
+        synapse_act=act_now,
         prediction=prediction,
         segment_potential=potential,
         segment_matching=matching,

@@ -68,10 +68,43 @@ def column_mask_from_cols(cols: jnp.ndarray, column_dim: int) -> jnp.ndarray:
     return (c[:, None] == cols[None, :]).any(axis=1)
 
 
+def _pallas_block(rows: int, row_bytes: int) -> int:
+    """Largest power-of-two row-block (<= 512, VMEM-bounded) dividing
+    `rows`; 0 if none fits (-> XLA fallback)."""
+    # budget for ONE synapse tile: the pipeline holds ~2x(in+out) tiles
+    # plus the u32 accumulator, so keep the tile well under the 16MB VMEM
+    budget = 1024 * 1024
+    b = 512
+    while b >= 8:
+        if rows % b == 0 and b * row_bytes <= budget:
+            return b
+        b //= 2
+    return rows if rows * row_bytes <= budget else 0
+
+
 def synapse_activation(
     syn_cell: jnp.ndarray,   # (R, J) int32 global presynaptic cell, -1 free
     cols: jnp.ndarray,       # (A,) int32 active columns
     bits: jnp.ndarray,       # (A, W) uint32 per-column cell bitmasks
+    cell_dim: int,
+) -> jnp.ndarray:
+    """Dispatch to the fused Pallas kernel on TPU (single HBM pass) or
+    the pure-XLA form elsewhere. Identical results on both paths."""
+    if jax.default_backend() == "tpu":
+        block = _pallas_block(syn_cell.shape[0], 4 * syn_cell.shape[1])
+        if block:
+            from .pallas_kernels import synapse_activation_tpu
+
+            return synapse_activation_tpu(
+                syn_cell, cols, bits, cell_dim, block=block
+            )
+    return synapse_activation_xla(syn_cell, cols, bits, cell_dim)
+
+
+def synapse_activation_xla(
+    syn_cell: jnp.ndarray,
+    cols: jnp.ndarray,
+    bits: jnp.ndarray,
     cell_dim: int,
 ) -> jnp.ndarray:
     """For every synapse slot: is its presynaptic cell in the active set?
@@ -85,23 +118,69 @@ def synapse_activation(
     Layout: the A axis is placed second-to-last (sublanes) so the lane
     axis stays the 128-aligned J; putting A last would pad the ~41-wide
     reduction axis to 128 lanes (3x wasted VPU work).
+
+    Inner loop: since column ids are distinct, at most one a matches, so
+    the matched column's bitmask word is recovered with a masked-sum
+    over A (2 vector ops per a) and the bit extract happens once per
+    element — cheaper than extracting a bit per (element, a) pair.
     """
     W = bits.shape[-1]
     col = syn_cell // cell_dim                       # (R, J), -1 for free
     lo = syn_cell - col * cell_dim                   # in [0, D)
     eq = col[:, None, :] == cols[None, :, None]      # (R, A, J)
-    bitpos = (lo % 32).astype(jnp.uint32)[:, None, :]  # (R, 1, J)
-    hit = jnp.zeros(eq.shape, jnp.bool_)
+    bitpos = (lo % 32).astype(jnp.uint32)            # (R, J)
+    if W == 1:
+        matched = jnp.sum(
+            jnp.where(eq, bits[None, :, 0, None], jnp.uint32(0)),
+            axis=1, dtype=jnp.uint32,
+        )                                            # (R, J)
+        return ((matched >> bitpos) & jnp.uint32(1)).astype(jnp.bool_)
+    word = lo // 32                                  # (R, J)
+    hit = jnp.zeros(syn_cell.shape, jnp.bool_)
     for w in range(W):
-        bitval = (
-            (bits[None, :, w, None] >> bitpos) & jnp.uint32(1)
-        ).astype(jnp.bool_)                          # (R, A, J)
-        if W > 1:
-            word = (lo // 32)[:, None, :]
-            hit |= eq & bitval & (word == w)
-        else:
-            hit |= eq & bitval
-    return hit.any(axis=1)                           # (R, J)
+        matched = jnp.sum(
+            jnp.where(eq, bits[None, :, w, None], jnp.uint32(0)),
+            axis=1, dtype=jnp.uint32,
+        )
+        hit |= (
+            ((matched >> bitpos) & jnp.uint32(1)).astype(jnp.bool_)
+            & (word == w)
+        )
+    return hit
+
+
+def table_update_xla(syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
+                     cell_dim: int, punishment: float):
+    """Punishment decrement + synapse death + active-set compare, fused
+    table pass (pure-XLA form). Returns (syn', perm', act_now)."""
+    live = syn_cell >= 0
+    pen = (pun_flat != 0) & act_prev & live
+    perm = syn_perm - jnp.where(pen, jnp.float32(punishment),
+                                jnp.float32(0.0))
+    dead = live & (perm < 0.0)
+    syn = jnp.where(dead, -1, syn_cell)
+    perm = jnp.where(dead, -1.0, perm)
+    act = synapse_activation_xla(syn, cols, bits, cell_dim)
+    return syn, perm, act
+
+
+def table_update(syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
+                 cell_dim: int, punishment: float):
+    """Dispatch the fused punish/death/activation table pass to the
+    Pallas kernel on TPU, XLA elsewhere. Identical results."""
+    if jax.default_backend() == "tpu":
+        # 7 table-sized tiles live at once (4 in, 3 out) before
+        # pipelining, so budget per-tile bytes accordingly
+        block = _pallas_block(syn_cell.shape[0], 12 * syn_cell.shape[1])
+        if block:
+            from .pallas_kernels import table_update_tpu
+
+            return table_update_tpu(
+                syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
+                cell_dim, punishment, block=block,
+            )
+    return table_update_xla(syn_cell, syn_perm, act_prev, pun_flat, cols,
+                            bits, cell_dim, punishment)
 
 
 # ---- segment-axis reduction/broadcast on flat (C, G*K) tables ----------
@@ -116,34 +195,32 @@ def _seg_matrix(num_segments: int, synapses: int) -> jnp.ndarray:
     """(G*K, G) constant 0/1 matrix, M[j, g] = (j // K == g)."""
     j = jnp.arange(num_segments * synapses, dtype=jnp.int32)
     g = jnp.arange(num_segments, dtype=jnp.int32)
-    return ((j[:, None] // synapses) == g).astype(jnp.bfloat16)
+    return ((j[:, None] // synapses) == g).astype(jnp.int8)
 
 
 def seg_reduce_counts(flat_mask: jnp.ndarray, num_segments: int,
                       synapses: int) -> jnp.ndarray:
-    """(C, G*K) bool -> (C, G) int32 per-segment counts via MXU matmul.
-
-    Exact: 0/1 values are exact in bf16 and counts (<= K <= 256) are
-    exactly representable in the f32 accumulator.
-    """
+    """(C, G*K) bool -> (C, G) int32 per-segment counts via an int8 MXU
+    matmul against a constant block matrix (exact integer counts; int8
+    operands halve the materialized operand bytes vs bf16)."""
     m = _seg_matrix(num_segments, synapses)
-    out = jax.lax.dot_general(
-        flat_mask.astype(jnp.bfloat16), m,
+    return jax.lax.dot_general(
+        flat_mask.astype(jnp.int8), m,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32,
     )
-    return out.astype(jnp.int32)
 
 
 def seg_broadcast(per_segment: jnp.ndarray, num_segments: int,
                   synapses: int) -> jnp.ndarray:
-    """(C, G) bool/0-1 -> (C, G*K) float32 0/1 mask via MXU matmul."""
+    """(C, G) bool/0-1 -> (C, G*K) int8 0/1 mask via int8 MXU matmul."""
     m = _seg_matrix(num_segments, synapses)
-    return jax.lax.dot_general(
-        per_segment.astype(jnp.bfloat16), m.T,
+    out = jax.lax.dot_general(
+        per_segment.astype(jnp.int8), m.T,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32,
     )
+    return out.astype(jnp.int8)
 
 
 def compact_first_k(valid: jnp.ndarray, values: jnp.ndarray,

@@ -1,0 +1,177 @@
+"""Pallas TPU kernels for the hot full-table ops.
+
+The one op XLA cannot schedule well here is the active-set compare
+(`active_set.synapse_activation`): the natural HLO decomposition
+materializes the derived column-id table and the matched-bitmask table
+(two extra full-size HBM round trips, ~1.2 GB/step at batch 128). The
+Pallas version streams one (block, J) tile of the synapse table through
+VMEM, loops the A active columns from SMEM, and writes only the boolean
+activity mask — HBM traffic drops to read-syn + write-act.
+
+CPU (tests) uses the pure-XLA fallback in `active_set.py`; kernel
+parity against that fallback is tested in interpret mode
+(`tests/test_pallas.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _act_kernel(cols_ref, bits_ref, syn_ref, act_ref, *, cell_dim: int,
+                num_active: int, words: int):
+    syn = syn_ref[:]                                  # (Cb, J) int32
+    col = syn // cell_dim                             # -1 for free slots
+    lo = syn - col * cell_dim
+    bitpos = (lo % 32).astype(jnp.uint32)
+
+    if words > 1:
+        w_idx = lo // 32
+    matched = jnp.zeros(syn.shape, jnp.uint32)
+    for a in range(num_active):       # static unroll: A independent
+        c = cols_ref[0, a]            # compare+select chains pipeline
+        hit = col == c
+        if words == 1:
+            matched |= jnp.where(hit, bits_ref[a, 0], jnp.uint32(0))
+        else:
+            word = jnp.zeros_like(matched)
+            for w in range(words):
+                word = jnp.where(
+                    hit & (w_idx == w), bits_ref[a, w], word
+                )
+            matched |= word
+    act_ref[:] = ((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)
+
+
+def _table_kernel(cols_ref, bits_ref, syn_ref, perm_ref, actprev_ref,
+                  pun_ref, syn_out, perm_out, act_out, *, cell_dim: int,
+                  num_active: int, words: int, punishment: float):
+    """Fused per-tile: punishment decrement + synapse death + active-set
+    compare — one HBM read and one write of the synapse tables per step
+    instead of separate punish and activation passes."""
+    syn = syn_ref[:]
+    perm = perm_ref[:]
+    live = syn >= 0
+    pen = pun_ref[:] & actprev_ref[:] & live
+    perm = perm - jnp.where(pen, jnp.float32(punishment), jnp.float32(0.0))
+    dead = live & (perm < 0.0)
+    syn = jnp.where(dead, -1, syn)
+    perm = jnp.where(dead, jnp.float32(-1.0), perm)
+
+    col = syn // cell_dim
+    lo = syn - col * cell_dim
+    bitpos = (lo % 32).astype(jnp.uint32)
+    if words > 1:
+        w_idx = lo // 32
+    matched = jnp.zeros(syn.shape, jnp.uint32)
+    for a in range(num_active):
+        c = cols_ref[0, a]
+        hit = col == c
+        if words == 1:
+            matched |= jnp.where(hit, bits_ref[a, 0], jnp.uint32(0))
+        else:
+            word = jnp.zeros_like(matched)
+            for w in range(words):
+                word = jnp.where(hit & (w_idx == w), bits_ref[a, w], word)
+            matched |= word
+
+    syn_out[:] = syn
+    perm_out[:] = perm
+    act_out[:] = ((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)
+
+
+def table_update_tpu(
+    syn_cell: jnp.ndarray,   # (C, J) int32
+    syn_perm: jnp.ndarray,   # (C, J) float32
+    act_prev: jnp.ndarray,   # (C, J) bool
+    pun_flat: jnp.ndarray,   # (C, J) bool/int8 punished-segment mask
+    cols: jnp.ndarray,       # (A,) int32
+    bits: jnp.ndarray,       # (A, W) uint32
+    cell_dim: int,
+    punishment: float,
+    block: int = 128,
+    interpret: bool = False,
+):
+    """Returns (syn', perm', act_now) — the fused punish/death/activation
+    table pass. Semantically identical to the XLA fallback
+    (`active_set.table_update_xla`)."""
+    C, J = syn_cell.shape
+    A, W = bits.shape
+    block = min(block, C)
+    assert C % block == 0, (C, block)
+
+    kernel = functools.partial(
+        _table_kernel, cell_dim=cell_dim, num_active=A, words=W,
+        punishment=punishment,
+    )
+    tile = lambda i: (i, 0)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((C, J), jnp.int32),
+            jax.ShapeDtypeStruct((C, J), jnp.float32),
+            jax.ShapeDtypeStruct((C, J), jnp.bool_),
+        ),
+        grid=(C // block,),
+        in_specs=[
+            pl.BlockSpec((1, A), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((A, W), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM),
+        ),
+        # update the synapse tables in place (operands 2, 3 -> outputs
+        # 0, 1): saves XLA the defensive operand copies
+        input_output_aliases={2: 0, 3: 1},
+        interpret=interpret,
+    )(cols.reshape(1, A), bits, syn_cell, syn_perm,
+      act_prev.astype(jnp.bool_), pun_flat.astype(jnp.bool_))
+
+
+def synapse_activation_tpu(
+    syn_cell: jnp.ndarray,   # (C, J) int32
+    cols: jnp.ndarray,       # (A,) int32
+    bits: jnp.ndarray,       # (A, W) uint32
+    cell_dim: int,
+    block: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas TPU version of `active_set.synapse_activation` (identical
+    semantics, single HBM pass)."""
+    C, J = syn_cell.shape
+    A, W = bits.shape
+    block = min(block, C)
+    assert C % block == 0, (C, block)
+
+    kernel = functools.partial(
+        _act_kernel, cell_dim=cell_dim, num_active=A, words=W
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C, J), jnp.bool_),
+        grid=(C // block,),
+        in_specs=[
+            pl.BlockSpec((1, A), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((A, W), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, J), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, J), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(cols.reshape(1, A), bits, syn_cell)

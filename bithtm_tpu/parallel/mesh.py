@@ -62,6 +62,7 @@ def batched_state_specs(state: HTMState) -> HTMState:
         active_cols=P(d),             # (B, A) replicated over model
         active_bits=P(d),             # (B, A, W)
         winner_bits=P(d),             # (B, A, W)
+        synapse_act=P(d, m),          # (B, C, G*K)
         prediction=P(d, m),           # (B, C, D)
         segment_potential=P(d, m),    # (B, C, G)
         segment_matching=P(d, m),

@@ -1,0 +1,62 @@
+"""Pallas kernel parity vs the pure-XLA reference path, in interpreter
+mode (runs on the CPU test backend; the compiled kernel runs the same
+program on real TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bithtm_tpu.ops.active_set import (
+    pack_bits,
+    synapse_activation_xla,
+    table_update_xla,
+)
+from bithtm_tpu.ops.pallas_kernels import (
+    synapse_activation_tpu,
+    table_update_tpu,
+)
+
+
+def test_synapse_activation_kernel_matches_xla():
+    rng = np.random.RandomState(0)
+    for D in (4, 32, 40):
+        C, G, K, A = 16, 4, 8, 3
+        N = C * D
+        syn = rng.randint(-1, N, size=(C, G * K)).astype(np.int32)
+        cols = np.sort(rng.choice(C, A, replace=False)).astype(np.int32)
+        rows = rng.rand(A, D) < 0.5
+        bits = pack_bits(jnp.asarray(rows))
+        ref = np.asarray(
+            synapse_activation_xla(
+                jnp.asarray(syn), jnp.asarray(cols), bits, D
+            )
+        )
+        got = np.asarray(
+            synapse_activation_tpu(
+                jnp.asarray(syn), jnp.asarray(cols), bits, D,
+                block=8, interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_table_update_kernel_matches_xla():
+    rng = np.random.RandomState(1)
+    for D in (4, 40):
+        C, G, K, A = 16, 4, 8, 3
+        N = C * D
+        syn = rng.randint(-1, N, size=(C, G * K)).astype(np.int32)
+        perm = np.where(
+            syn >= 0, rng.rand(C, G * K).astype(np.float32) * 0.1 - 0.02,
+            -1.0,
+        ).astype(np.float32)
+        act_prev = (rng.rand(C, G * K) < 0.5) & (syn >= 0)
+        pun = np.repeat(rng.rand(C, G) < 0.3, K, axis=1)
+        cols = np.sort(rng.choice(C, A, replace=False)).astype(np.int32)
+        rows = rng.rand(A, D) < 0.5
+        bits = pack_bits(jnp.asarray(rows))
+        args = (jnp.asarray(syn), jnp.asarray(perm), jnp.asarray(act_prev),
+                jnp.asarray(pun), jnp.asarray(cols), bits, D, 0.03)
+        ref = table_update_xla(*args)
+        got = table_update_tpu(*args, block=8, interpret=True)
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
