@@ -6,7 +6,8 @@ permanences, duty cycles, recurrent masks, RNG key — is one pytree, so a
 checkpoint is a faithful snapshot of a training stream mid-sequence.
 
 Uses orbax if available, with a plain .npz fallback so checkpointing
-never depends on optional machinery.
+never depends on optional machinery. Typed PRNG-key leaves are stored as
+their raw uint32 key data and re-wrapped on restore.
 """
 
 from __future__ import annotations
@@ -14,7 +15,36 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+def _is_key(leaf) -> bool:
+    try:
+        return jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+    except Exception:
+        return False
+
+
+def _unkey(tree):
+    """Replace typed PRNG-key leaves with raw uint32 key data."""
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.random.key_data(leaf) if _is_key(leaf) else leaf,
+        tree,
+    )
+
+
+def _rekey(tree, like):
+    """Re-wrap key data for leaves that are typed keys in `like`."""
+    return jax.tree_util.tree_map(
+        lambda data, ref: (
+            jax.random.wrap_key_data(jnp.asarray(data))
+            if _is_key(ref)
+            else jnp.asarray(data).astype(ref.dtype)
+        ),
+        tree,
+        like,
+    )
 
 
 def _flatten_with_paths(tree):
@@ -32,43 +62,37 @@ def _flatten_with_paths(tree):
 def save(path: str, state) -> None:
     """Save a state pytree. `path` is a directory (orbax) or created as
     one containing state.npz (fallback)."""
+    raw = jax.device_get(_unkey(state))
     try:
         import orbax.checkpoint as ocp
 
         ckpt = ocp.PyTreeCheckpointer()
-        ckpt.save(
-            os.path.abspath(os.path.join(path, "state")),
-            jax.device_get(state),
-            force=True,
-        )
+        ckpt.save(os.path.abspath(os.path.join(path, "state")), raw,
+                  force=True)
         return
     except Exception:
         pass
     os.makedirs(path, exist_ok=True)
-    items, _ = _flatten_with_paths(jax.device_get(state))
+    items, _ = _flatten_with_paths(raw)
     np.savez_compressed(os.path.join(path, "state.npz"), **items)
 
 
 def restore(path: str, like):
     """Restore a state pytree saved by `save`. `like` provides the
     structure/shapes/dtypes (e.g. a freshly initialized state)."""
+    raw_like = _unkey(like)
     orbax_path = os.path.abspath(os.path.join(path, "state"))
     npz_path = os.path.join(path, "state.npz")
     if os.path.exists(orbax_path):
         import orbax.checkpoint as ocp
 
         ckpt = ocp.PyTreeCheckpointer()
-        target = jax.device_get(like)
-        restored = ckpt.restore(orbax_path, item=target)
-        return jax.tree_util.tree_map(
-            lambda l, r: jax.numpy.asarray(r).astype(l.dtype), like, restored
-        )
+        restored = ckpt.restore(orbax_path, item=jax.device_get(raw_like))
+        return _rekey(restored, like)
     if os.path.exists(npz_path):
         data = np.load(npz_path)
-        items, treedef = _flatten_with_paths(like)
-        leaves = [
-            jax.numpy.asarray(data[k]).astype(v.dtype)
-            for k, v in items.items()
-        ]
-        return jax.tree_util.tree_unflatten(treedef, leaves)
+        items, treedef = _flatten_with_paths(raw_like)
+        leaves = [data[k] for k in items.keys()]
+        raw = jax.tree_util.tree_unflatten(treedef, leaves)
+        return _rekey(raw, like)
     raise FileNotFoundError(f"no checkpoint at {path}")

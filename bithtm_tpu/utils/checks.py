@@ -1,0 +1,81 @@
+"""State-invariant validation — the functional-world "sanitizer".
+
+The reference has no sanitizers (single-threaded NumPy). Under XLA the
+failure modes are different: index corruption from a bad masked write,
+inconsistent dual state, NaN permanences (SURVEY.md §5 maps race
+detection to exactly this). `validate_state` re-derives every structural
+invariant of a TMState on the host and raises with a precise message;
+call it in tests or between training epochs (it is NOT jittable on
+purpose — it is the out-of-band auditor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class StateInvariantError(AssertionError):
+    pass
+
+
+def validate_tm_state(cfg, tm) -> None:
+    """Check every structural invariant of a (host) TMState."""
+    C, D, G, K = (cfg.column_dim, cfg.cell_dim, cfg.segments_per_column,
+                  cfg.synapse_capacity)
+    N = C * D
+    syn = np.asarray(tm.synapse_cell).reshape(C, G, K)
+    perm = np.asarray(tm.synapse_perm).reshape(C, G, K)
+    seg_cell = np.asarray(tm.seg_cell)
+
+    def fail(msg):
+        raise StateInvariantError(msg)
+
+    if not ((seg_cell >= 0) & (seg_cell <= D)).all():
+        fail("seg_cell out of [0, D] range")
+    live = syn >= 0
+    if not (syn[live] < N).all():
+        fail("synapse target cell out of range")
+    if np.isnan(perm).any():
+        fail("NaN permanence")
+    if not (perm[live] >= 0.0).all():
+        fail("live synapse with negative permanence (missed death)")
+    if not (perm[~live] == -1.0).all():
+        fail("free slot with non-sentinel permanence")
+    # synapses may only live on allocated segments
+    unalloc = seg_cell == D
+    if live[unalloc].any():
+        fail("live synapse on unallocated segment slot")
+    # no duplicate targets within a segment
+    for c, g in zip(*np.nonzero(live.any(-1))):
+        targets = syn[c, g][live[c, g]]
+        if len(np.unique(targets)) != len(targets):
+            fail(f"duplicate synapse targets in segment ({c},{g})")
+    # cached forward state consistent with the tables
+    pot = np.asarray(tm.segment_potential)
+    act = np.asarray(tm.synapse_act).reshape(C, G, K)
+    if not (act.sum(-1) == pot).all():
+        fail("segment_potential inconsistent with cached synapse_act")
+    match = np.asarray(tm.segment_matching)
+    if not (match == (pot >= cfg.segment_matching_threshold)).all():
+        fail("segment_matching inconsistent with potential")
+    # compact active set: column ids in range, sorted
+    cols = np.asarray(tm.active_cols)
+    if not ((cols >= 0) & (cols < C)).all():
+        fail("active_cols out of range")
+    if not (np.diff(cols) >= 0).all():
+        fail("active_cols not sorted")
+
+
+def validate_state(cfg, state) -> None:
+    """Validate a full HTMState (host pytree) — SP + TM invariants."""
+    validate_tm_state(cfg.tm, state.tm)
+    perm = np.asarray(state.sp.permanence)
+    conn = np.asarray(state.sp.connected)
+    if np.isnan(perm).any():
+        raise StateInvariantError("NaN SP permanence")
+    expect = (perm >= cfg.sp.permanence_threshold).astype(np.int8)
+    if not (conn == expect).all():
+        raise StateInvariantError("SP connected cache inconsistent")
+    duty = np.asarray(state.sp.duty_cycle)
+    if not ((duty >= 0.0) & (duty <= 1.0)).all():
+        raise StateInvariantError("SP duty cycle out of [0, 1]")

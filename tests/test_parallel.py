@@ -1,0 +1,76 @@
+"""Mesh sharding: the (data x model) sharded step must produce exactly
+the same results as the unsharded batched step, and self-compose (carry
+sharding in == out). Runs on the 8 virtual CPU devices set up by
+conftest.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bithtm_tpu import htm_init_batch, make_htm_config
+from bithtm_tpu.models.htm import htm_step_batch
+from bithtm_tpu.parallel.mesh import make_mesh, shard_batched_state, sharded_step
+
+
+def small_cfg():
+    return make_htm_config(
+        input_dim=64, column_dim=64, cell_dim=4, active_columns=4,
+        segment_activation_threshold=2, segment_matching_threshold=2,
+        segment_sampling_synapses=8,
+    )
+
+
+def _run(cfg, step, state, xs):
+    outs = []
+    for x in xs:
+        state, metrics = step(state, x)
+        outs.append(metrics["bursting"])
+    return state, np.asarray(jax.device_get(outs))
+
+
+def test_sharded_step_matches_unsharded():
+    cfg = small_cfg()
+    B = 4
+    rng = np.random.RandomState(0)
+    xs = [jnp.asarray(rng.rand(B, cfg.input_dim) < 0.2) for _ in range(6)]
+
+    # unsharded reference
+    state_ref = htm_init_batch(jax.random.key(0), cfg, B)
+    step_ref = jax.jit(lambda s, x: (
+        lambda r: (r[0], r[1].metrics)
+    )(htm_step_batch(cfg, s, x, True)))
+    final_ref, burst_ref = _run(cfg, step_ref, state_ref, xs)
+
+    # sharded: 2-way data x 4-way model
+    mesh = make_mesh(n_data=2, n_model=4)
+    state_sh = shard_batched_state(
+        htm_init_batch(jax.random.key(0), cfg, B), mesh
+    )
+    step_sh = sharded_step(cfg, mesh, learning=True)
+    final_sh, burst_sh = _run(cfg, step_sh, state_sh, xs)
+
+    np.testing.assert_array_equal(burst_sh, burst_ref)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        jax.device_get(final_sh.tm),
+        jax.device_get(final_ref.tm),
+    )
+
+
+def test_sharded_carry_layout_stable():
+    """The sharded step's output state must be directly feedable back in
+    (no host round trip, no resharding)."""
+    cfg = small_cfg()
+    mesh = make_mesh(n_data=4, n_model=2)
+    state = shard_batched_state(htm_init_batch(jax.random.key(1), cfg, 8),
+                                mesh)
+    step = sharded_step(cfg, mesh, learning=True)
+    rng = np.random.RandomState(1)
+    for _ in range(3):
+        x = jnp.asarray(rng.rand(8, cfg.input_dim) < 0.2)
+        state, metrics = step(state, x)
+    burst = np.asarray(jax.device_get(metrics["bursting"]))
+    assert burst.shape == (8,) and (burst >= 0).all()

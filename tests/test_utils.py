@@ -1,0 +1,66 @@
+"""Aux-subsystem tests: state invariants, metrics logging, profiling."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bithtm_tpu import htm_init, htm_scan, make_htm_config
+from bithtm_tpu.utils.checks import validate_state
+from bithtm_tpu.utils.metrics_log import JsonlLogger, summarize
+from bithtm_tpu.utils.profiling import PhaseTimer, drain
+
+
+def small_cfg():
+    return make_htm_config(
+        input_dim=64, column_dim=64, cell_dim=4, active_columns=4,
+        segment_activation_threshold=2, segment_matching_threshold=2,
+        segment_sampling_synapses=8,
+    )
+
+
+def test_invariants_hold_through_training():
+    cfg = small_cfg()
+    state = htm_init(jax.random.key(0), cfg)
+    validate_state(cfg, jax.device_get(state))
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        seq = jnp.asarray(rng.rand(8, cfg.input_dim) < 0.2)
+        state, _ = htm_scan(cfg, state, seq, True)
+        validate_state(cfg, jax.device_get(state))
+
+
+def test_jsonl_logger(tmp_path):
+    cfg = small_cfg()
+    state = htm_init(jax.random.key(0), cfg)
+    rng = np.random.RandomState(0)
+    seq = jnp.asarray(rng.rand(5, cfg.input_dim) < 0.2)
+    state, metrics = htm_scan(cfg, state, seq, True)
+
+    path = str(tmp_path / "m.jsonl")
+    log = JsonlLogger(path, config={"column_dim": cfg.column_dim})
+    per_step = jax.device_get(metrics)
+    for t in range(5):
+        log.write({k: v[t] for k, v in per_step.items()})
+    log.close()
+
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["event"] == "config"
+    assert len(lines) == 6
+    assert "bursting" in lines[1] and lines[1]["step"] == 0
+
+
+def test_summarize_shapes():
+    m = {"a": jnp.asarray(3), "b": jnp.asarray([1, 2]),
+         "c": jnp.asarray([0.5, 1.5])}
+    s = summarize(m)
+    assert s == {"a": 3, "b": 3, "c": 1.0}
+
+
+def test_phase_timer_and_drain():
+    t = PhaseTimer()
+    with t.phase("x"):
+        y = jnp.ones((8, 8)) * 2
+        drain(y)
+    assert "x" in t.report()
