@@ -32,6 +32,13 @@ from .models.htm import HTMOutput, htm_scan, htm_step, htm_step_batch
 from .models.spatial_pooler import SPOutput, sp_step
 from .models.temporal_memory import TMOutput, tm_step
 from .networks import HierarchicalTemporalMemory, SpatialPooler, TemporalMemory
+from .encoders import (
+    CategoryEncoder,
+    CyclicEncoder,
+    DateTimeEncoder,
+    ScalarEncoder,
+    anomaly_score,
+)
 
 __all__ = [
     "HTMConfig", "SPConfig", "TMConfig", "make_htm_config", "make_tm_config",
@@ -40,6 +47,8 @@ __all__ = [
     "htm_step", "htm_step_batch", "htm_scan", "HTMOutput",
     "sp_step", "SPOutput", "tm_step", "TMOutput",
     "HierarchicalTemporalMemory", "SpatialPooler", "TemporalMemory",
+    "ScalarEncoder", "CyclicEncoder", "CategoryEncoder", "DateTimeEncoder",
+    "anomaly_score",
 ]
 
 __version__ = "0.1.0"

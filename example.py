@@ -12,6 +12,65 @@ import time
 import numpy as np
 
 
+def run_oracle_checked(args, cfg, inputs):
+    """Single-stream run with the BAMI oracle in lockstep: every step,
+    the oracle adopts the JAX step's RNG decisions, validates them
+    against the legal candidate sets, re-derives the consequences, and
+    the whole TM state (cell sets, segment sets, synapse tables incl.
+    permanences) is compared bit-exactly."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from bithtm_tpu import htm_init
+    from bithtm_tpu.models.spatial_pooler import sp_step
+    from bithtm_tpu.models.temporal_memory import tm_step
+    from bithtm_tpu.oracle.bami import OracleTM
+    from bithtm_tpu.oracle.transplant import extract_decisions
+
+    sp_fn = jax.jit(functools.partial(sp_step, cfg.sp), static_argnums=(2,))
+    tm_fn = jax.jit(
+        functools.partial(tm_step, cfg.tm),
+        static_argnames=("learning", "return_debug"),
+    )
+    state = htm_init(jax.random.key(args.seed), cfg)
+    sp_state, tm_state, key = state.sp, state.tm, state.key
+    oracle = OracleTM(cfg.tm)
+    rng = np.random.RandomState(args.seed)
+    start = time.time()
+    steps = 0
+    for epoch in range(args.epochs):
+        for i, pattern in enumerate(inputs):
+            noisy = pattern ^ (
+                rng.rand(args.input_dim) < args.input_noise_probability
+            )
+            key, sub = jax.random.split(key)
+            sp_state, sp_out = sp_fn(sp_state, jnp.asarray(noisy), True)
+            tm_state, tm_out, debug = tm_fn(
+                tm_state, sub, sp_out.active_columns,
+                learning=True, return_debug=True,
+            )
+            oracle.step(
+                np.asarray(jax.device_get(sp_out.active_columns)),
+                extract_decisions(jax.device_get(debug)),
+                learning=True,
+            )
+            oracle.compare(jax.device_get(tm_state))
+            steps += 1
+            if not args.quiet:
+                m = tm_out.metrics
+                print(
+                    f"epoch {epoch}, pattern {i}: parity OK — bursting "
+                    f"{int(m['tm_bursting_columns'])}, predicted cells "
+                    f"{int(m['tm_predicted_cells'])}"
+                )
+    print(
+        f"{time.time() - start:.1f} seconds: {steps} steps, every step "
+        f"verified bit-exact against the BAMI oracle."
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=100)
@@ -28,6 +87,12 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint", type=str, default=None,
                    help="directory to save final state / resume from")
+    p.add_argument("--oracle", action="store_true",
+                   help="run the NumPy BAMI oracle TM in lockstep and "
+                        "verify the full state bit-exactly every step "
+                        "(the reference's --use_reference_implementation, "
+                        "upgraded to a continuous differential check; "
+                        "single stream, no --scan)")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args()
 
@@ -51,6 +116,10 @@ def main():
     cfg = make_htm_config(args.input_dim, args.column_dim, args.cell_dim)
     rng = np.random.RandomState(args.seed)
     inputs = rng.rand(args.input_patterns, args.input_dim) < args.input_density
+
+    if args.oracle:
+        run_oracle_checked(args, cfg, inputs)
+        return
 
     batched = args.batch > 1
     if batched:

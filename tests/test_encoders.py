@@ -1,0 +1,100 @@
+"""Encoder contracts: fixed sparsity, locality of overlap, batching, and
+an end-to-end NAB-style anomaly pipeline on a synthetic periodic signal."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bithtm_tpu import htm_init, htm_scan, make_htm_config
+from bithtm_tpu.encoders import (
+    CategoryEncoder,
+    CyclicEncoder,
+    DateTimeEncoder,
+    ScalarEncoder,
+    anomaly_score,
+    concat,
+)
+
+
+def test_scalar_encoder_sparsity_and_locality():
+    enc = ScalarEncoder(0.0, 100.0, size=200, active_bits=15)
+    a = np.asarray(enc(10.0))
+    b = np.asarray(enc(11.0))
+    c = np.asarray(enc(90.0))
+    assert a.sum() == b.sum() == c.sum() == 15
+    assert (a & b).sum() > 10        # near values share most bits
+    assert (a & c).sum() == 0        # far values share none
+    # clipping
+    assert np.array_equal(np.asarray(enc(-5.0)), np.asarray(enc(0.0)))
+    assert np.array_equal(np.asarray(enc(500.0)), np.asarray(enc(100.0)))
+
+
+def test_scalar_encoder_batched():
+    enc = ScalarEncoder(0.0, 1.0, size=64, active_bits=5)
+    out = np.asarray(enc(jnp.asarray([[0.0, 0.5], [1.0, 0.25]])))
+    assert out.shape == (2, 2, 64)
+    assert (out.sum(-1) == 5).all()
+
+
+def test_cyclic_encoder_wraps():
+    enc = CyclicEncoder(24.0, size=48, active_bits=5)
+    late = np.asarray(enc(23.9))
+    early = np.asarray(enc(0.1))
+    assert late.sum() == early.sum() == 5
+    assert (late & early).sum() >= 3   # adjacent across the wrap
+
+
+def test_category_encoder_disjoint():
+    enc = CategoryEncoder(4, active_bits=6)
+    outs = [np.asarray(enc(i)) for i in range(4)]
+    for i in range(4):
+        assert outs[i].sum() == 6
+        for j in range(i + 1, 4):
+            assert (outs[i] & outs[j]).sum() == 0
+
+
+def test_datetime_encoder_shape():
+    enc = DateTimeEncoder()
+    out = np.asarray(enc(jnp.asarray([0.0, 3600.0 * 5])))
+    assert out.shape == (2, enc.size)
+    assert (out.sum(-1) == enc.hour_bits + enc.weekday_bits).all()
+
+
+def test_anomaly_score():
+    act = np.zeros(10, bool); act[:4] = True
+    pred = np.zeros(10, bool); pred[:2] = True
+    assert anomaly_score(pred, act) == 0.5
+    assert anomaly_score(act, act) == 0.0
+    assert anomaly_score(np.zeros(10, bool), act) == 1.0
+
+
+def test_nab_style_anomaly_pipeline():
+    """A periodic scalar stream: anomaly falls as the model learns the
+    cycle, then spikes when the signal breaks pattern."""
+    value_enc = ScalarEncoder(-1.2, 1.2, size=160, active_bits=13)
+    time_enc = CyclicEncoder(8.0, size=64, active_bits=7)
+    cfg = make_htm_config(
+        input_dim=value_enc.size + time_enc.size,
+        column_dim=128, cell_dim=8, active_columns=6,
+        segment_activation_threshold=3, segment_matching_threshold=3,
+        segment_sampling_synapses=12,
+        # default boosting (0.3) keeps remapping columns on short runs
+        sp_overrides={"boosting_intensity": 0.05},
+    )
+    t = np.arange(8 * 30)
+    values = np.sin(2 * np.pi * t / 8.0)
+    x = np.asarray(concat(value_enc(jnp.asarray(values)),
+                          time_enc(jnp.asarray(t, dtype=jnp.float32))))
+    state = htm_init(jax.random.key(0), cfg)
+    state, metrics = htm_scan(cfg, state, jnp.asarray(x), True)
+    anomaly = np.asarray(metrics["anomaly"])
+    assert anomaly[:8].mean() > 0.9          # everything novel at first
+    assert anomaly[-16:].mean() < 0.3        # cycle learned
+
+    # break the pattern: constant outlier values
+    x2 = np.asarray(concat(
+        value_enc(jnp.full((8,), 1.2)),
+        time_enc(jnp.asarray(np.arange(8), dtype=jnp.float32)),
+    ))
+    state, m2 = htm_scan(cfg, state, jnp.asarray(x2), True)
+    assert np.asarray(m2["anomaly"])[1:].mean() > 0.5
