@@ -33,6 +33,10 @@ def main():
     p.add_argument("--cell_dim", type=int, default=32)
     p.add_argument("--input_patterns", type=int, default=100)
     p.add_argument("--input_density", type=float, default=0.2)
+    p.add_argument("--mode", choices=("htm", "sp", "tm"), default="htm",
+                   help="htm: full pipeline (the headline metric); "
+                        "sp: SpatialPooler only (BASELINE configs[1]); "
+                        "tm: TemporalMemory learning only (configs[2])")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
@@ -62,8 +66,60 @@ def main():
 
     state = htm_init_batch(jax.random.key(0), cfg, B)
 
+    if args.mode == "htm":
+        run = lambda st: htm_scan(cfg, st, seq, True)
+        metric = "aggregate_timesteps_per_sec_2048x32_learning"
+    elif args.mode == "sp":
+        # SpatialPooler only: overlap matmul + boosting + top-k + Hebbian
+        # update, scanned over the sequence (BASELINE configs[1]).
+        import functools
+
+        from bithtm_tpu.models.spatial_pooler import sp_step
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(st):
+            def body(carry, x):
+                new, out = jax.vmap(
+                    lambda s, xx: sp_step(cfg.sp, s, xx, True)
+                )(carry, x)
+                return new, out.boosted_overlaps.sum(-1)
+            sp_final, boosted = jax.lax.scan(body, st.sp, seq)
+            return st.replace(sp=sp_final), {"anomaly": boosted}
+        metric = "sp_only_timesteps_per_sec_2048x32_learning"
+    else:
+        # TemporalMemory full learning driven by fixed column sequences
+        # (BASELINE configs[2]); SP is bypassed with random top-k sets.
+        import functools
+
+        from bithtm_tpu.models.temporal_memory import tm_step
+
+        A = cfg.sp.active_columns
+        col_seq = jnp.asarray(np.stack([
+            np.stack([np.sort(rng.choice(args.column_dim, A, replace=False))
+                      for _ in range(B)])
+            for _ in range(T)
+        ]).astype(np.int32))
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(st):
+            def body(carry, cols):
+                tm, key = carry  # key: (B,) per-stream keys
+                split = jax.vmap(lambda k: jax.random.split(k, 2))(key)
+                key, subs = split[:, 0], split[:, 1]
+                new_tm, out = jax.vmap(
+                    lambda t, k, c: tm_step(cfg.tm, t, k, c, learning=True)
+                )(tm, subs, cols)
+                return (new_tm, key), out.metrics["tm_bursting_columns"]
+            (tm_final, key), burst = jax.lax.scan(
+                body, (st.tm, st.key), col_seq
+            )
+            return st.replace(tm=tm_final, key=key), {
+                "anomaly": burst.astype(jnp.float32)
+            }
+        metric = "tm_only_timesteps_per_sec_2048x32_learning"
+
     t0 = time.time()
-    state, metrics = htm_scan(cfg, state, seq, True)
+    state, metrics = run(state)
     jax.block_until_ready(state)
     print(f"# warmup (compile + {T} steps): {time.time() - t0:.1f}s",
           file=sys.stderr)
@@ -71,7 +127,7 @@ def main():
     times = []
     for r in range(args.repeats):
         t0 = time.time()
-        state, metrics = htm_scan(cfg, state, seq, True)
+        state, metrics = run(state)
         # force a host read so remote-execution backends can't report
         # completion before the device work actually drains
         _ = float(np.asarray(metrics["anomaly"][-1]).sum())
@@ -84,13 +140,14 @@ def main():
         f" = {agg:,.0f} steps/s ({best / T * 1e3:.2f} ms/step)",
         file=sys.stderr,
     )
-    print(
-        f"# bursting[last-step] mean: "
-        f"{np.asarray(metrics['bursting'][-1]).mean():.1f}",
-        file=sys.stderr,
-    )
+    if args.mode == "htm":
+        print(
+            f"# bursting[last-step] mean: "
+            f"{np.asarray(metrics['bursting'][-1]).mean():.1f}",
+            file=sys.stderr,
+        )
     print(json.dumps({
-        "metric": "aggregate_timesteps_per_sec_2048x32_learning",
+        "metric": metric,
         "value": round(agg, 1),
         "unit": "timesteps/s",
         "vs_baseline": round(agg / BASELINE_STEPS_PER_SEC, 1),
