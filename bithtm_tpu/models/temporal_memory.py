@@ -448,32 +448,38 @@ def tm_step(
             state.segment_matching & ~col_active[:, None] & (state.step > 0)
         )                                                      # (C, G)
         pun_flat = seg_broadcast(punished, G, K)               # (C, J) 0/1
-        syn_full, perm_full, act_now = table_update(
+        # the fused full-table pass: punish + death + activation +
+        # per-segment counts + prediction (networks.py:121-122,
+        # projections.py:245-255,269,290-293)
+        (syn_full, perm_full, act_now, potential, matching, seg_active,
+         prediction) = table_update(
             syn_mid, perm_mid, state.synapse_act, pun_flat,
-            active_cols, act_bits, D, cfg.permanence_punishment,
+            active_cols, act_bits, seg_cell, D,
+            cfg.permanence_punishment, cfg.permanence_threshold,
+            cfg.segment_matching_threshold,
+            cfg.segment_activation_threshold,
         )
         learn_metrics["tm_punished_segments"] = punished.sum(
             dtype=jnp.int32
         )
         debug["punished_segments"] = punished
     else:
+        # inference: tables are frozen, only the forward pass runs
+        # (networks.py:121-122, projections.py:245-255)
         syn_full = state.synapse_cell
         perm_full = state.synapse_perm
         seg_cell = state.seg_cell
         learn_metrics = {}
         act_now = synapse_activation(syn_full, active_cols, act_bits, D)
-
-    # --- distal forward pass -> next prediction
-    # (networks.py:121-122, projections.py:245-255)
-    potential = seg_reduce_counts(act_now, G, K)               # (C, G)
-    connected = seg_reduce_counts(
-        act_now & (perm_full >= cfg.permanence_threshold), G, K
-    )
-    matching = potential >= cfg.segment_matching_threshold
-    seg_active = matching & (connected >= cfg.segment_activation_threshold)
-    prediction = percell_max(
-        seg_cell, seg_active, D, False
-    )                                                          # (C, D)
+        potential = seg_reduce_counts(act_now, G, K)           # (C, G)
+        connected = seg_reduce_counts(
+            act_now & (perm_full >= cfg.permanence_threshold), G, K
+        )
+        matching = potential >= cfg.segment_matching_threshold
+        seg_active = matching & (
+            connected >= cfg.segment_activation_threshold
+        )
+        prediction = percell_max(seg_cell, seg_active, D, False)
 
     new_state = TMState(
         synapse_cell=syn_full,

@@ -150,9 +150,17 @@ def synapse_activation_xla(
 
 
 def table_update_xla(syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
-                     cell_dim: int, punishment: float):
-    """Punishment decrement + synapse death + active-set compare, fused
-    table pass (pure-XLA form). Returns (syn', perm', act_now)."""
+                     seg_cell, cell_dim: int, punishment: float,
+                     perm_threshold: float, matching_threshold: int,
+                     activation_threshold: int):
+    """The full-table portion of a TM step (pure-XLA form): punishment
+    decrement + synapse death + active-set compare + per-segment counts
+    + matching/active flags + per-cell prediction.
+
+    Returns (syn', perm', act_now, potential, matching, seg_active,
+    prediction)."""
+    G = seg_cell.shape[1]
+    K = syn_cell.shape[1] // G
     live = syn_cell >= 0
     pen = (pun_flat != 0) & act_prev & live
     perm = syn_perm - jnp.where(pen, jnp.float32(punishment),
@@ -161,13 +169,20 @@ def table_update_xla(syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
     syn = jnp.where(dead, -1, syn_cell)
     perm = jnp.where(dead, -1.0, perm)
     act = synapse_activation_xla(syn, cols, bits, cell_dim)
-    return syn, perm, act
+    potential = seg_reduce_counts(act, G, K)
+    connected = seg_reduce_counts(act & (perm >= perm_threshold), G, K)
+    matching = potential >= matching_threshold
+    seg_active = matching & (connected >= activation_threshold)
+    prediction = percell_max(seg_cell, seg_active, cell_dim, False)
+    return syn, perm, act, potential, matching, seg_active, prediction
 
 
 def table_update(syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
-                 cell_dim: int, punishment: float):
-    """Dispatch the fused punish/death/activation table pass to the
-    Pallas kernel on TPU, XLA elsewhere. Identical results."""
+                 seg_cell, cell_dim: int, punishment: float,
+                 perm_threshold: float, matching_threshold: int,
+                 activation_threshold: int):
+    """Dispatch the fused full-table TM pass to the Pallas kernel on
+    TPU, XLA elsewhere. Identical results."""
     if jax.default_backend() == "tpu":
         # 7 table-sized tiles live at once (4 in, 3 out) before
         # pipelining, so budget per-tile bytes accordingly
@@ -175,12 +190,28 @@ def table_update(syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
         if block:
             from .pallas_kernels import table_update_tpu
 
-            return table_update_tpu(
+            # The kernel fuses punish + death + activation (the HBM-
+            # bound part); the small per-segment counts and prediction
+            # are faster as XLA dots/one-hots outside (in-kernel
+            # reductions over the G axis measured slower).
+            G = seg_cell.shape[1]
+            K = syn_cell.shape[1] // G
+            syn, perm, act = table_update_tpu(
                 syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
                 cell_dim, punishment, block=block,
             )
+            potential = seg_reduce_counts(act, G, K)
+            connected = seg_reduce_counts(
+                act & (perm >= perm_threshold), G, K
+            )
+            matching = potential >= matching_threshold
+            seg_active = matching & (connected >= activation_threshold)
+            prediction = percell_max(seg_cell, seg_active, cell_dim, False)
+            return syn, perm, act, potential, matching, seg_active, prediction
     return table_update_xla(syn_cell, syn_perm, act_prev, pun_flat, cols,
-                            bits, cell_dim, punishment)
+                            bits, seg_cell, cell_dim, punishment,
+                            perm_threshold, matching_threshold,
+                            activation_threshold)
 
 
 # ---- segment-axis reduction/broadcast on flat (C, G*K) tables ----------

@@ -53,7 +53,9 @@ def _table_kernel(cols_ref, bits_ref, syn_ref, perm_ref, actprev_ref,
                   num_active: int, words: int, punishment: float):
     """Fused per-tile: punishment decrement + synapse death + active-set
     compare — one HBM read and one write of the synapse tables per step
-    instead of separate punish and activation passes."""
+    instead of separate punish and activation passes. (Per-segment
+    counts and prediction stay outside: in-kernel G-axis reductions
+    measured slower than XLA's int8 dots.)"""
     syn = syn_ref[:]
     perm = perm_ref[:]
     live = syn >= 0
@@ -69,8 +71,8 @@ def _table_kernel(cols_ref, bits_ref, syn_ref, perm_ref, actprev_ref,
     if words > 1:
         w_idx = lo // 32
     matched = jnp.zeros(syn.shape, jnp.uint32)
-    for a in range(num_active):
-        c = cols_ref[0, a]
+    for a in range(num_active):       # static unroll: A independent
+        c = cols_ref[0, a]            # compare+select chains pipeline
         hit = col == c
         if words == 1:
             matched |= jnp.where(hit, bits_ref[a, 0], jnp.uint32(0))
@@ -79,27 +81,25 @@ def _table_kernel(cols_ref, bits_ref, syn_ref, perm_ref, actprev_ref,
             for w in range(words):
                 word = jnp.where(hit & (w_idx == w), bits_ref[a, w], word)
             matched |= word
-
     syn_out[:] = syn
     perm_out[:] = perm
     act_out[:] = ((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)
 
 
 def table_update_tpu(
-    syn_cell: jnp.ndarray,   # (C, J) int32
-    syn_perm: jnp.ndarray,   # (C, J) float32
-    act_prev: jnp.ndarray,   # (C, J) bool
-    pun_flat: jnp.ndarray,   # (C, J) bool/int8 punished-segment mask
-    cols: jnp.ndarray,       # (A,) int32
-    bits: jnp.ndarray,       # (A, W) uint32
+    syn_cell,                # (C, J) int32
+    syn_perm,                # (C, J) float32
+    act_prev,                # (C, J) bool
+    pun_flat,                # (C, J) bool/int8 punished-segment mask
+    cols,                    # (A,) int32
+    bits,                    # (A, W) uint32
     cell_dim: int,
     punishment: float,
     block: int = 128,
     interpret: bool = False,
 ):
     """Returns (syn', perm', act_now) — the fused punish/death/activation
-    table pass. Semantically identical to the XLA fallback
-    (`active_set.table_update_xla`)."""
+    table pass, updating the tables in place."""
     C, J = syn_cell.shape
     A, W = bits.shape
     block = min(block, C)
@@ -110,6 +110,7 @@ def table_update_tpu(
         punishment=punishment,
     )
     tile = lambda i: (i, 0)
+    big = lambda: pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -123,16 +124,9 @@ def table_update_tpu(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((A, W), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM),
+            big(), big(), big(), big(),
         ],
-        out_specs=(
-            pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM),
-        ),
+        out_specs=(big(), big(), big()),
         # update the synapse tables in place (operands 2, 3 -> outputs
         # 0, 1): saves XLA the defensive operand copies
         input_output_aliases={2: 0, 3: 1},

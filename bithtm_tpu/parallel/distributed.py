@@ -1,0 +1,61 @@
+"""Multi-host (multi-process) execution.
+
+The reference is strictly single-process (SURVEY.md §2: no
+multiprocessing, sockets, or collectives anywhere). Here multi-host
+scale rides entirely on `jax.distributed` + GSPMD: every process calls
+`initialize()`, builds the same global mesh over all devices, and the
+`parallel.mesh.sharded_step` program runs unmodified — XLA routes the
+(tiny, A-sized) cross-shard traffic over ICI/DCN.
+
+HTM's stream axis is embarrassingly parallel, so the recommended
+multi-host layout is data-parallel over all hosts (zero inter-host
+traffic during the step; each host feeds its local shard of the stream
+batch) with model-parallel sharding only inside a host's ICI domain for
+configs whose tables exceed one chip.
+
+Fault tolerance (SURVEY.md §5): the whole model is one pytree, so
+elastic recovery is checkpoint/restore (`utils.checkpoint`) — on any
+worker failure, restart the job and resume from the last step's
+checkpoint; there is no optimizer or data-loader state beyond the
+pytree and the step counter inside it.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Initialize multi-process JAX. With no arguments, uses the
+    standard cluster environment variables (JAX_COORDINATOR_ADDRESS
+    etc. / TPU pod metadata)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """The slice of the global stream batch this process should feed
+    when the batch axis is sharded over all devices in process order."""
+    n = jax.process_count()
+    assert global_batch % n == 0, (global_batch, n)
+    per = global_batch // n
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
+
+
+def make_global_array(local_np, mesh, spec):
+    """Assemble per-process host data into one globally-sharded array
+    (the data-loading path for multi-host runs)."""
+    from jax.sharding import NamedSharding
+
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), local_np
+    )

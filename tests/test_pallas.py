@@ -51,12 +51,21 @@ def test_table_update_kernel_matches_xla():
         ).astype(np.float32)
         act_prev = (rng.rand(C, G * K) < 0.5) & (syn >= 0)
         pun = np.repeat(rng.rand(C, G) < 0.3, K, axis=1)
+        seg_cell = rng.randint(0, D + 1, size=(C, G)).astype(np.int32)
         cols = np.sort(rng.choice(C, A, replace=False)).astype(np.int32)
         rows = rng.rand(A, D) < 0.5
         bits = pack_bits(jnp.asarray(rows))
-        args = (jnp.asarray(syn), jnp.asarray(perm), jnp.asarray(act_prev),
-                jnp.asarray(pun), jnp.asarray(cols), bits, D, 0.03)
-        ref = table_update_xla(*args)
-        got = table_update_tpu(*args, block=8, interpret=True)
-        for r, g in zip(ref, got):
+        ref = table_update_xla(
+            jnp.asarray(syn), jnp.asarray(perm), jnp.asarray(act_prev),
+            jnp.asarray(pun), jnp.asarray(cols), bits,
+            jnp.asarray(seg_cell), D, 0.03, 0.05, 2, 1,
+        )
+        got = table_update_tpu(
+            jnp.asarray(syn), jnp.asarray(perm), jnp.asarray(act_prev),
+            jnp.asarray(pun), jnp.asarray(cols), bits, D, 0.03,
+            block=8, interpret=True,
+        )
+        # kernel covers the fused punish/death/activation part (the
+        # counts/prediction tail runs as shared XLA on both paths)
+        for r, g in zip(ref[:3], got):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
