@@ -16,6 +16,8 @@ from .config import (
     HTMConfig,
     SPConfig,
     TMConfig,
+    config_from_dict,
+    config_to_dict,
     make_htm_config,
     make_tm_config,
 )
@@ -39,6 +41,14 @@ from .encoders import (
     ScalarEncoder,
     anomaly_score,
 )
+from .readout import (
+    ClassifierState,
+    bucket_value,
+    bucketize,
+    classifier_init,
+    classifier_predict,
+    classifier_update,
+)
 
 __all__ = [
     "HTMConfig", "SPConfig", "TMConfig", "make_htm_config", "make_tm_config",
@@ -49,6 +59,9 @@ __all__ = [
     "HierarchicalTemporalMemory", "SpatialPooler", "TemporalMemory",
     "ScalarEncoder", "CyclicEncoder", "CategoryEncoder", "DateTimeEncoder",
     "anomaly_score",
+    "ClassifierState", "classifier_init", "classifier_predict",
+    "classifier_update", "bucketize", "bucket_value",
+    "config_to_dict", "config_from_dict",
 ]
 
 __version__ = "0.1.0"

@@ -167,6 +167,19 @@ def make_tm_config(
     )
 
 
+def config_to_dict(cfg: HTMConfig) -> dict:
+    """Serialize an HTMConfig (e.g. alongside a checkpoint)."""
+    return {
+        "sp": dataclasses.asdict(cfg.sp),
+        "tm": dataclasses.asdict(cfg.tm),
+    }
+
+
+def config_from_dict(d: dict) -> HTMConfig:
+    """Inverse of `config_to_dict`."""
+    return HTMConfig(sp=SPConfig(**d["sp"]), tm=TMConfig(**d["tm"]))
+
+
 def make_htm_config(
     input_dim: int,
     column_dim: int,
