@@ -64,3 +64,41 @@ def test_phase_timer_and_drain():
         y = jnp.ones((8, 8)) * 2
         drain(y)
     assert "x" in t.report()
+
+
+def test_invariant_checker_catches_corruption():
+    import jax.numpy as jnp
+    import pytest
+
+    from bithtm_tpu.utils.checks import StateInvariantError
+
+    cfg = small_cfg()
+    state = htm_init(jax.random.key(0), cfg)
+    rng = np.random.RandomState(0)
+    seq = jnp.asarray(rng.rand(8, cfg.input_dim) < 0.2)
+    state, _ = htm_scan(cfg, state, seq, True)
+    host = jax.device_get(state)
+
+    # out-of-range synapse target
+    bad_syn = np.array(host.tm.synapse_cell)
+    bad_syn[0, 0] = cfg.tm.num_cells + 5
+    with pytest.raises(StateInvariantError):
+        validate_state(cfg, host.replace(
+            tm=host.tm.replace(synapse_cell=bad_syn)))
+
+    # missed synapse death (live slot, negative permanence)
+    live = np.array(host.tm.synapse_cell) >= 0
+    assert live.any()
+    c, j = np.argwhere(live)[0]
+    bad_perm = np.array(host.tm.synapse_perm)
+    bad_perm[c, j] = -0.5
+    with pytest.raises(StateInvariantError):
+        validate_state(cfg, host.replace(
+            tm=host.tm.replace(synapse_perm=bad_perm)))
+
+    # stale cached activity
+    bad_act = np.array(host.tm.synapse_act)
+    bad_act[c, j] = ~bad_act[c, j]
+    with pytest.raises(StateInvariantError):
+        validate_state(cfg, host.replace(
+            tm=host.tm.replace(synapse_act=bad_act)))
