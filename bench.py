@@ -37,6 +37,9 @@ def main():
                    help="htm: full pipeline (the headline metric); "
                         "sp: SpatialPooler only (BASELINE configs[1]); "
                         "tm: TemporalMemory learning only (configs[2])")
+    p.add_argument("--inference", action="store_true",
+                   help="serve with learning=False (frozen graph): the "
+                        "anomaly-scoring / prediction deployment path")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
@@ -67,8 +70,11 @@ def main():
     state = htm_init_batch(jax.random.key(0), cfg, B)
 
     if args.mode == "htm":
-        run = lambda st: htm_scan(cfg, st, seq, True)
-        metric = "aggregate_timesteps_per_sec_2048x32_learning"
+        learn = not args.inference
+        run = lambda st: htm_scan(cfg, st, seq, learn)
+        metric = ("aggregate_timesteps_per_sec_2048x32_learning"
+                  if learn else
+                  "aggregate_timesteps_per_sec_2048x32_inference")
     elif args.mode == "sp":
         # SpatialPooler only: overlap matmul + boosting + top-k + Hebbian
         # update, scanned over the sequence (BASELINE configs[1]).
