@@ -51,24 +51,30 @@ def htm_step(
     state: HTMState,
     input_bits: jnp.ndarray,
     learning: bool = True,
+    compute_winner: bool = True,
 ) -> tuple[HTMState, HTMOutput]:
-    """One full timestep for a single stream. `learning` is jit-static."""
+    """One full timestep for a single stream. `learning` and
+    `compute_winner` (the reference's `return_winner_cell`,
+    `networks.py:91` — False skips the winner-selection jitters on
+    inference-only steps) are jit-static."""
     key, sub = jax.random.split(state.key)
     with jax.named_scope("sp"):
         sp_state, sp_out = sp_step(cfg.sp, state.sp, input_bits, learning)
     with jax.named_scope("tm"):
         tm_state, tm_out = tm_step(
-            cfg.tm, state.tm, sub, sp_out.active_columns, learning=learning
+            cfg.tm, state.tm, sub, sp_out.active_columns,
+            learning=learning, compute_winner=compute_winner,
         )
     new_state = HTMState(sp=sp_state, tm=tm_state, key=key)
     return new_state, HTMOutput(sp_out, tm_out, _step_metrics(cfg, sp_out, tm_out))
 
 
-def htm_step_batch(cfg, state, input_bits, learning=True):
+def htm_step_batch(cfg, state, input_bits, learning=True,
+                   compute_winner=True):
     """Batched step: state pytree and inputs carry a leading stream axis.
     Streams are fully independent (pure data parallelism)."""
     return jax.vmap(
-        lambda s, x: htm_step(cfg, s, x, learning)
+        lambda s, x: htm_step(cfg, s, x, learning, compute_winner)
     )(state, input_bits)
 
 

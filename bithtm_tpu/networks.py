@@ -27,9 +27,9 @@ from .models.temporal_memory import tm_step
 from .state import htm_init, sp_init, tm_init
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def _jit_htm_step(cfg, state, x, learning):
-    return htm_step(cfg, state, x, learning)
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _jit_htm_step(cfg, state, x, learning, compute_winner):
+    return htm_step(cfg, state, x, learning, compute_winner)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -37,9 +37,10 @@ def _jit_sp_step(cfg, state, x, learning):
     return sp_step(cfg, state, x, learning)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
-def _jit_tm_step(cfg, state, key, active_mask, learning):
-    return tm_step(cfg, state, key, active_mask, learning=learning)
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _jit_tm_step(cfg, state, key, active_cols, learning, compute_winner):
+    return tm_step(cfg, state, key, active_cols, learning=learning,
+                   compute_winner=compute_winner)
 
 
 class SpatialPooler:
@@ -70,10 +71,11 @@ class TemporalMemory:
         self.state = tm_init(self.config)
         self.key = jax.random.key(seed)
 
-    def process(self, sp_output, learning=True):
+    def process(self, sp_output, learning=True, return_winner_cell=True):
         self.key, sub = jax.random.split(self.key)
         self.state, out = _jit_tm_step(
-            self.config, self.state, sub, sp_output.active_columns, learning
+            self.config, self.state, sub, sp_output.active_columns,
+            learning, return_winner_cell,
         )
         return out
 
@@ -91,8 +93,10 @@ class HierarchicalTemporalMemory:
         self.active_columns = self.config.sp.active_columns
         self.state = htm_init(jax.random.key(seed), self.config)
 
-    def process(self, input_bits, learning=True):
+    def process(self, input_bits, learning=True, return_winner_cell=True):
         x = jnp.asarray(np.asarray(input_bits), jnp.bool_)
-        self.state, out = _jit_htm_step(self.config, self.state, x, learning)
+        self.state, out = _jit_htm_step(
+            self.config, self.state, x, learning, return_winner_cell
+        )
         self.last_metrics = {k: np.asarray(v) for k, v in out.metrics.items()}
         return out.sp, out.tm

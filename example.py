@@ -93,6 +93,8 @@ def main():
                         "(the reference's --use_reference_implementation, "
                         "upgraded to a continuous differential check; "
                         "single stream, no --scan)")
+    p.add_argument("--log", type=str, default=None,
+                   help="append per-step metrics to this JSONL file")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args()
 
@@ -139,6 +141,13 @@ def main():
             state = restore(args.checkpoint, state)
             print(f"resumed from {args.checkpoint}")
 
+    logger = None
+    if args.log:
+        from bithtm_tpu.config import config_to_dict
+        from bithtm_tpu.utils.metrics_log import JsonlLogger
+
+        logger = JsonlLogger(args.log, config=config_to_dict(cfg))
+
     start = time.time()
     for epoch in range(args.epochs):
         if args.scan:
@@ -151,6 +160,8 @@ def main():
                     seq[:, None], (len(seq), args.batch, args.input_dim)
                 )
             state, metrics = htm_scan(cfg, state, jnp.asarray(seq), True)
+            if logger is not None:
+                logger.write(jax.device_get(metrics), epoch=epoch)
             if not args.quiet:
                 m = {k: np.asarray(v).sum(axis=-1) if batched else
                      np.asarray(v) for k, v in metrics.items()}
@@ -169,6 +180,8 @@ def main():
                     if batched else noisy
                 )
                 state, out = step(state, x, True)
+                if logger is not None:
+                    logger.write(jax.device_get(out.metrics), epoch=epoch)
                 if not args.quiet:
                     m = {k: int(np.asarray(v).sum()) for k, v in
                          out.metrics.items()
