@@ -41,6 +41,14 @@ from .encoders import (
     ScalarEncoder,
     anomaly_score,
 )
+from .models.stack import (
+    StackConfig,
+    StackOutput,
+    make_stack_config,
+    stack_init,
+    stack_scan,
+    stack_step,
+)
 from .readout import (
     ClassifierState,
     bucket_value,
@@ -62,6 +70,8 @@ __all__ = [
     "ClassifierState", "classifier_init", "classifier_predict",
     "classifier_update", "bucketize", "bucket_value",
     "config_to_dict", "config_from_dict",
+    "StackConfig", "StackOutput", "make_stack_config", "stack_init",
+    "stack_step", "stack_scan",
 ]
 
 __version__ = "0.1.0"
