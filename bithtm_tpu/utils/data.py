@@ -1,0 +1,78 @@
+"""Host-side data pipeline: prefetch input SDR chunks to the device.
+
+The reference generates each step's input inline on the host
+(`example.py:34,52`), serializing data generation with compute. For
+production streams (batched, chunked under `lax.scan`) the host must
+stay ahead of the device: `prefetch_to_device` runs the producer in a
+background thread and keeps `buffer_size` chunks resident on device, so
+`htm_scan` consumes one while the next transfers.
+
+Also provides the reference driver's synthetic workload as a generator
+(`noisy_pattern_chunks`) so benchmarks and examples share one data path.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator
+
+import jax
+import numpy as np
+
+
+def prefetch_to_device(chunks: Iterable, buffer_size: int = 2,
+                       device=None) -> Iterator:
+    """Iterate `chunks` (host arrays / pytrees), transferring each with
+    `jax.device_put` from a background thread, keeping up to
+    `buffer_size` chunks in flight. Yields device arrays in order.
+
+    Producer exceptions re-raise at the consumer; iteration stops
+    cleanly when the producer is exhausted.
+    """
+    q: queue.Queue = queue.Queue(maxsize=buffer_size)
+    stop = object()
+
+    def producer():
+        try:
+            for c in chunks:
+                q.put(jax.device_put(c, device))
+            q.put(stop)
+        except BaseException as e:  # surface in consumer
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def noisy_pattern_chunks(
+    rng: np.random.RandomState,
+    patterns: np.ndarray,          # (P, I) bool base patterns
+    chunk_steps: int,
+    num_chunks: int,
+    batch: int | None = None,      # None = single stream
+    noise: float = 0.05,
+) -> Iterator[np.ndarray]:
+    """The reference driver's workload (`example.py:34,52`): cycle the
+    pattern sequence, XOR-ing per-step Bernoulli noise; yields
+    [T, I] (or [T, B, I]) bool chunks."""
+    P, I = patterns.shape
+    pos = 0
+    for _ in range(num_chunks):
+        idx = (pos + np.arange(chunk_steps)) % P
+        pos = (pos + chunk_steps) % P
+        base = patterns[idx]                        # (T, I)
+        if batch is None:
+            out = base ^ (rng.rand(chunk_steps, I) < noise)
+        else:
+            out = base[:, None, :] ^ (
+                rng.rand(chunk_steps, batch, I) < noise
+            )
+        yield out

@@ -102,3 +102,38 @@ def test_invariant_checker_catches_corruption():
     with pytest.raises(StateInvariantError):
         validate_state(cfg, host.replace(
             tm=host.tm.replace(synapse_act=bad_act)))
+
+
+def test_prefetch_pipeline_feeds_scan():
+    import jax.numpy as jnp
+
+    from bithtm_tpu.utils.data import noisy_pattern_chunks, prefetch_to_device
+
+    cfg = small_cfg()
+    rng = np.random.RandomState(0)
+    pats = rng.rand(5, cfg.input_dim) < 0.2
+    chunks = noisy_pattern_chunks(np.random.RandomState(1), pats,
+                                  chunk_steps=10, num_chunks=4)
+    state = htm_init(jax.random.key(0), cfg)
+    n = 0
+    for chunk in prefetch_to_device(chunks):
+        assert chunk.shape == (10, cfg.input_dim)
+        state, metrics = htm_scan(cfg, state, chunk, True)
+        n += 1
+    assert n == 4
+    assert int(np.asarray(state.tm.step)) == 40
+
+
+def test_prefetch_propagates_producer_errors():
+    import pytest
+
+    from bithtm_tpu.utils.data import prefetch_to_device
+
+    def bad():
+        yield np.zeros(3)
+        raise ValueError("boom")
+
+    it = prefetch_to_device(bad())
+    next(it)
+    with pytest.raises(ValueError):
+        list(it)
