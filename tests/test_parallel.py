@@ -74,3 +74,10 @@ def test_sharded_carry_layout_stable():
         state, metrics = step(state, x)
     burst = np.asarray(jax.device_get(metrics["bursting"]))
     assert burst.shape == (8,) and (burst >= 0).all()
+
+
+def test_local_batch_slice_single_process():
+    from bithtm_tpu.parallel.distributed import local_batch_slice
+
+    s = local_batch_slice(32)
+    assert (s.start, s.stop) == (0, 32)  # single-process: whole batch
