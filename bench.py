@@ -69,12 +69,11 @@ def main():
 
     state = htm_init_batch(jax.random.key(0), cfg, B)
 
+    learn = not args.inference
+    suffix = "learning" if learn else "inference"
     if args.mode == "htm":
-        learn = not args.inference
         run = lambda st: htm_scan(cfg, st, seq, learn)
-        metric = ("aggregate_timesteps_per_sec_2048x32_learning"
-                  if learn else
-                  "aggregate_timesteps_per_sec_2048x32_inference")
+        metric = f"aggregate_timesteps_per_sec_2048x32_{suffix}"
     elif args.mode == "sp":
         # SpatialPooler only: overlap matmul + boosting + top-k + Hebbian
         # update, scanned over the sequence (BASELINE configs[1]).
@@ -86,12 +85,12 @@ def main():
         def run(st):
             def body(carry, x):
                 new, out = jax.vmap(
-                    lambda s, xx: sp_step(cfg.sp, s, xx, True)
+                    lambda s, xx: sp_step(cfg.sp, s, xx, learn)
                 )(carry, x)
                 return new, out.boosted_overlaps.sum(-1)
             sp_final, boosted = jax.lax.scan(body, st.sp, seq)
             return st.replace(sp=sp_final), {"anomaly": boosted}
-        metric = "sp_only_timesteps_per_sec_2048x32_learning"
+        metric = f"sp_only_timesteps_per_sec_2048x32_{suffix}"
     else:
         # TemporalMemory full learning driven by fixed column sequences
         # (BASELINE configs[2]); SP is bypassed with random top-k sets.
@@ -113,7 +112,7 @@ def main():
                 split = jax.vmap(lambda k: jax.random.split(k, 2))(key)
                 key, subs = split[:, 0], split[:, 1]
                 new_tm, out = jax.vmap(
-                    lambda t, k, c: tm_step(cfg.tm, t, k, c, learning=True)
+                    lambda t, k, c: tm_step(cfg.tm, t, k, c, learning=learn)
                 )(tm, subs, cols)
                 return (new_tm, key), out.metrics["tm_bursting_columns"]
             (tm_final, key), burst = jax.lax.scan(
@@ -122,7 +121,7 @@ def main():
             return st.replace(tm=tm_final, key=key), {
                 "anomaly": burst.astype(jnp.float32)
             }
-        metric = "tm_only_timesteps_per_sec_2048x32_learning"
+        metric = f"tm_only_timesteps_per_sec_2048x32_{suffix}"
 
     t0 = time.time()
     state, metrics = run(state)

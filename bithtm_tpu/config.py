@@ -155,9 +155,10 @@ def make_tm_config(
     """Build a TMConfig with TPU-friendly derived capacities.
 
     Capacity heuristics: at the reference's default 2048x32 workload the
-    pool stabilises around a few segments per (column, pattern-context);
-    16 slots per column is generous. 48 synapse slots = 32 sampled
-    (`projections.py:223`) + headroom for accumulation across contexts.
+    pool stabilises around ~2.5 segments per column, so the default 8
+    slots per column give 3x headroom (overflow is dropped + counted in
+    metrics). 48 synapse slots = 32 sampled (`projections.py:223`) +
+    headroom for accumulation across contexts.
     """
     return TMConfig(
         column_dim=column_dim,

@@ -86,7 +86,11 @@ class CategoryEncoder:
 @dataclasses.dataclass(frozen=True)
 class DateTimeEncoder:
     """NAB-style timestamp context: cyclic hour-of-day + day-of-week.
-    Input is seconds-since-epoch (or any consistent origin)."""
+    Input is integer seconds-since-epoch (or any consistent origin).
+
+    The phase reduction happens in int32 (exact) — reducing current-era
+    epoch values in float32 would quantize timestamps to its 128-second
+    ulp, aliasing nearby minutes."""
 
     hour_size: int = 128
     hour_bits: int = 11
@@ -98,12 +102,15 @@ class DateTimeEncoder:
         return self.hour_size + self.weekday_size
 
     def __call__(self, epoch_seconds) -> jnp.ndarray:
-        t = jnp.asarray(epoch_seconds, jnp.float32)
-        hour = CyclicEncoder(86400.0, self.hour_size, self.hour_bits)(t)
+        t = jnp.asarray(epoch_seconds).astype(jnp.int32)
+        day_phase = (t % 86400).astype(jnp.float32)
+        week_phase = (t % (7 * 86400)).astype(jnp.float32)
+        hour = CyclicEncoder(86400.0, self.hour_size,
+                             self.hour_bits)(day_phase)
         # epoch day 0 (1970-01-01) was a Thursday; weekday phase only
         # needs consistency, not calendar alignment
         wday = CyclicEncoder(7 * 86400.0, self.weekday_size,
-                             self.weekday_bits)(t)
+                             self.weekday_bits)(week_phase)
         return jnp.concatenate([hour, wday], axis=-1)
 
 

@@ -71,16 +71,16 @@ def stack_step(cfg: StackConfig, state, input_bits: jnp.ndarray,
     return tuple(new_states), StackOutput(tuple(outputs), metrics)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
 def stack_scan(cfg: StackConfig, state, inputs: jnp.ndarray,
                learning: bool = True):
-    """lax.scan of stack_step over a [T, input_dim] sequence."""
-    import functools
+    """lax.scan of stack_step over a [T, input_dim] sequence. Jitted at
+    module level so repeated calls hit the trace cache."""
+    def body(carry, x):
+        new_state, out = stack_step(cfg, carry, x, learning)
+        return new_state, out.metrics
 
-    @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
-    def run(cfg, state, inputs, learning):
-        def body(carry, x):
-            new_state, out = stack_step(cfg, carry, x, learning)
-            return new_state, out.metrics
-        return jax.lax.scan(body, state, inputs)
-
-    return run(cfg, state, inputs, learning)
+    return jax.lax.scan(body, state, inputs)

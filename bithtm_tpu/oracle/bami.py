@@ -42,6 +42,25 @@ class ParityError(AssertionError):
     pass
 
 
+def bits_to_cell_set(cols, bits, cell_dim):
+    """Decode the compact (cols, bits) active-set encoding into a set of
+    global cell ids (shared by OracleTM.compare and oracle_from_state)."""
+    import numpy as np
+
+    cells = set()
+    cols = np.asarray(cols)
+    bits = np.asarray(bits)
+    for a in range(cols.shape[0]):
+        for w in range(bits.shape[1]):
+            word = int(bits[a, w])
+            for b in range(32):
+                d = w * 32 + b
+                if d < cell_dim and (word >> b) & 1:
+                    cells.add(int(cols[a]) * cell_dim + d)
+    return cells
+
+
+
 class OracleTM:
     """Loop-based TM with injected decisions.
 
@@ -378,17 +397,7 @@ class OracleTM:
                     )
 
         def bits_to_set(cols, bits):
-            cells = set()
-            cols = np.asarray(cols)
-            bits = np.asarray(bits)
-            for a in range(cols.shape[0]):
-                for w in range(bits.shape[1]):
-                    word = int(bits[a, w])
-                    for b in range(32):
-                        d = w * 32 + b
-                        if d < D and (word >> b) & 1:
-                            cells.add(int(cols[a]) * D + d)
-            return cells
+            return bits_to_cell_set(cols, bits, D)
 
         def check_set(name, got, expected):
             if got != expected:

@@ -71,21 +71,14 @@ def oracle_from_state(cfg, tm_state) -> OracleTM:
                 if cell_tab[c, g, k] >= 0
             }
 
-    def bits_to_set(cols, bits):
-        cells = set()
-        cols = np.asarray(cols)
-        bits = np.asarray(bits)
-        for a in range(cols.shape[0]):
-            for w in range(bits.shape[1]):
-                word = int(bits[a, w])
-                for b in range(32):
-                    d = w * 32 + b
-                    if d < D and (word >> b) & 1:
-                        cells.add(int(cols[a]) * D + d)
-        return cells
+    from .bami import bits_to_cell_set
 
-    o.active_cells = bits_to_set(tm_state.active_cols, tm_state.active_bits)
-    o.winner_cells = bits_to_set(tm_state.active_cols, tm_state.winner_bits)
+    o.active_cells = bits_to_cell_set(
+        tm_state.active_cols, tm_state.active_bits, D
+    )
+    o.winner_cells = bits_to_cell_set(
+        tm_state.active_cols, tm_state.winner_bits, D
+    )
     o.predicted_cells = set(
         np.nonzero(np.asarray(tm_state.prediction).reshape(-1))[0].tolist()
     )

@@ -32,24 +32,47 @@ def prefetch_to_device(chunks: Iterable, buffer_size: int = 2,
     """
     q: queue.Queue = queue.Queue(maxsize=buffer_size)
     stop = object()
+    abandoned = threading.Event()
+
+    def put(item) -> bool:
+        # bounded put that gives up if the consumer abandoned iteration,
+        # so the thread (and its queued device buffers) never leak
+        while not abandoned.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for c in chunks:
-                q.put(jax.device_put(c, device))
-            q.put(stop)
+                if not put(jax.device_put(c, device)):
+                    return
+            put(stop)
         except BaseException as e:  # surface in consumer
-            q.put(e)
+            put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer done or bailed early: release the producer and drop
+        # any queued device buffers
+        abandoned.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def noisy_pattern_chunks(

@@ -137,3 +137,25 @@ def test_prefetch_propagates_producer_errors():
     next(it)
     with pytest.raises(ValueError):
         list(it)
+
+
+def test_prefetch_early_exit_releases_producer():
+    import time
+
+    from bithtm_tpu.utils.data import prefetch_to_device
+
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield np.full(4, i)
+
+    it = prefetch_to_device(gen(), buffer_size=2)
+    next(it)
+    it.close()  # consumer abandons early
+    time.sleep(0.5)
+    n = len(produced)
+    time.sleep(0.3)
+    assert len(produced) == n  # producer stopped, not blocked-and-leaked
+    assert n < 100
