@@ -125,3 +125,34 @@ def test_oracle_from_state_midstream():
     state, _ = run_parity(cfg, steps=50, seed=5)
     o = oracle_from_state(cfg, jax.device_get(state))
     o.compare(jax.device_get(state))
+
+
+def test_parity_single_cell_columns():
+    # cell_dim=1: every active column has exactly one (always-winning)
+    # cell; bursting == unpredicted; degenerate one-hot paths
+    cfg = make_cfg(k_active=4, column_dim=24, cell_dim=1,
+                   segments_per_column=3)
+    run_parity(cfg, steps=120, seed=8)
+
+
+def test_parity_single_active_column():
+    # A=1: compact active-set arrays have a singleton leading axis
+    cfg = make_cfg(k_active=1, column_dim=16, cell_dim=4,
+                   segment_activation_threshold=1,
+                   segment_matching_threshold=1,
+                   segment_sampling_synapses=2)
+    run_parity(cfg, steps=100, seed=9)
+
+
+def test_parity_exact_cell_word_boundary():
+    # cell_dim=32 exactly fills one uint32 word (bit 31 sign handling)
+    cfg = make_cfg(k_active=3, column_dim=8, cell_dim=32,
+                   segments_per_column=2)
+    run_parity(cfg, steps=100, seed=10)
+
+
+def test_parity_all_columns_active():
+    # A == C: no punishment can ever occur (every column active)
+    cfg = make_cfg(k_active=8, column_dim=8, cell_dim=4,
+                   segments_per_column=4)
+    run_parity(cfg, steps=80, seed=11)
