@@ -78,15 +78,21 @@ def htm_step_batch(cfg, state, input_bits, learning=True,
     )(state, input_bits)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4), donate_argnums=(1,))
 def htm_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
-             learning: bool = True):
+             learning: bool = True, unroll: int = 0):
     """Scan a [T, ...] (or [T, B, ...] batched) input sequence through the
     recurrence. Carry is donated: the synapse pool updates in place.
+
+    `unroll=0` picks automatically: 4 on TPU (amortizes the scan loop's
+    per-iteration bookkeeping, measured +20% throughput for ~3x compile
+    time), 1 elsewhere (keeps CPU test compiles fast).
 
     Returns (final_state, per-step metrics dict of [T]-leading arrays).
     """
     batched = inputs.ndim == 3
+    if unroll == 0:
+        unroll = 4 if jax.default_backend() == "tpu" else 1
 
     def body(carry, x):
         if batched:
@@ -95,4 +101,4 @@ def htm_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
             new_state, out = htm_step(cfg, carry, x, learning)
         return new_state, out.metrics
 
-    return jax.lax.scan(body, state, inputs)
+    return jax.lax.scan(body, state, inputs, unroll=unroll)
