@@ -45,10 +45,32 @@ class SPConfig:
     boosting_intensity: float = 0.3
     duty_cycle_momentum: float = 0.99
 
+    # "float32" keeps the reference's real-valued permanences (the
+    # parity-test contract). "int16" stores permanences as integer
+    # multiples of `permanence_quantum`: updates become exact integer
+    # arithmetic at half the HBM traffic (thresholding at 0 and the
+    # resulting connectivity/behavior are equivalent; only the Gaussian
+    # init is quantized). See docs/PERFORMANCE.md.
+    permanence_dtype: str = "float32"
+    permanence_quantum: float = 0.005
+
     @property
     def density(self) -> float:
         # regularizations.py:9
         return self.active_columns / self.column_dim
+
+    @property
+    def quantized(self) -> bool:
+        return self.permanence_dtype == "int16"
+
+    def to_units(self, value: float) -> int:
+        """Quantize a permanence-scale constant to integer units."""
+        q = round(value / self.permanence_quantum)
+        assert abs(q * self.permanence_quantum - value) < 1e-9, (
+            f"{value} is not a multiple of permanence_quantum "
+            f"{self.permanence_quantum}"
+        )
+        return q
 
 
 @dataclasses.dataclass(frozen=True)

@@ -47,11 +47,28 @@ def sp_step(cfg: SPConfig, state: SPState, input_bits: jnp.ndarray,
     if learning:
         # Hebbian update on the k active rows only (`projections.py:23-24`):
         # delta = input * (inc + dec) - dec, masked to active rows.
-        delta = input_bits.astype(jnp.float32) * (
-            cfg.permanence_increment + cfg.permanence_decrement
-        ) - cfg.permanence_decrement
-        permanence = permanence + active_mask[:, None] * delta[None, :]
-        connected = (permanence >= cfg.permanence_threshold).astype(jnp.int8)
+        if cfg.quantized:
+            # int16 permanences in units of permanence_quantum: exact
+            # integer arithmetic, half the table traffic of f32
+            inc = cfg.to_units(cfg.permanence_increment)
+            dec = cfg.to_units(cfg.permanence_decrement)
+            thr = cfg.to_units(cfg.permanence_threshold)
+            delta = (
+                input_bits.astype(jnp.int16) * jnp.int16(inc + dec)
+                - jnp.int16(dec)
+            )
+            permanence = permanence + (
+                active_mask[:, None] * delta[None, :]
+            ).astype(jnp.int16)
+            connected = (permanence >= thr).astype(jnp.int8)
+        else:
+            delta = input_bits.astype(jnp.float32) * (
+                cfg.permanence_increment + cfg.permanence_decrement
+            ) - cfg.permanence_decrement
+            permanence = permanence + active_mask[:, None] * delta[None, :]
+            connected = (
+                permanence >= cfg.permanence_threshold
+            ).astype(jnp.int8)
 
     duty = duty_cycle_update(state.duty_cycle, active_mask,
                              cfg.duty_cycle_momentum)

@@ -98,13 +98,20 @@ class HTMState(struct.PyTreeNode):
 
 
 def sp_init(key: jax.Array, cfg: SPConfig) -> SPState:
-    """Gaussian proximal permanences, N(mean, std^2) (`projections.py:16`)."""
+    """Gaussian proximal permanences, N(mean, std^2) (`projections.py:16`).
+    With `permanence_dtype="int16"` the init is quantized to integer
+    multiples of `permanence_quantum` (see SPConfig)."""
     perm = (
         jax.random.normal(key, (cfg.column_dim, cfg.input_dim), jnp.float32)
         * cfg.permanence_std
         + cfg.permanence_mean
     )
-    connected = (perm >= cfg.permanence_threshold).astype(jnp.int8)
+    if cfg.quantized:
+        perm = jnp.round(perm / cfg.permanence_quantum).astype(jnp.int16)
+        thr = cfg.to_units(cfg.permanence_threshold)
+        connected = (perm >= thr).astype(jnp.int8)
+    else:
+        connected = (perm >= cfg.permanence_threshold).astype(jnp.int8)
     return SPState(
         permanence=perm,
         connected=connected,

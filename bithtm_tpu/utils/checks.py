@@ -71,9 +71,11 @@ def validate_state(cfg, state) -> None:
     validate_tm_state(cfg.tm, state.tm)
     perm = np.asarray(state.sp.permanence)
     conn = np.asarray(state.sp.connected)
-    if np.isnan(perm).any():
+    if perm.dtype.kind == "f" and np.isnan(perm).any():
         raise StateInvariantError("NaN SP permanence")
-    expect = (perm >= cfg.sp.permanence_threshold).astype(np.int8)
+    thr = (cfg.sp.to_units(cfg.sp.permanence_threshold)
+           if cfg.sp.quantized else cfg.sp.permanence_threshold)
+    expect = (perm >= thr).astype(np.int8)
     if not (conn == expect).all():
         raise StateInvariantError("SP connected cache inconsistent")
     duty = np.asarray(state.sp.duty_cycle)

@@ -89,3 +89,50 @@ def test_boosting_prefers_quiet_columns(cfg):
     x = jnp.ones(cfg.input_dim, bool)  # all columns same input
     _, out = sp_step(cfg, state, x, False)
     assert (np.asarray(out.active_columns) >= 50).all()
+
+
+def test_quantized_sp_integer_exact_trajectory():
+    """int16 permanences: the whole trajectory is EXACT integer
+    arithmetic — verified bit-equal against a NumPy integer model of
+    the same semantics (the quantized analogue of
+    test_sp_matches_numpy_trajectory)."""
+    cfg = SPConfig(input_dim=80, column_dim=96, active_columns=7,
+                   permanence_dtype="int16")
+    q = cfg.permanence_quantum
+    inc, dec = cfg.to_units(cfg.permanence_increment), \
+        cfg.to_units(cfg.permanence_decrement)
+    state = sp_init(jax.random.key(5), cfg)
+    perm = np.asarray(state.permanence).astype(np.int64)
+    duty = np.zeros(cfg.column_dim, np.float32)
+    rng = np.random.RandomState(3)
+    for t in range(30):
+        x = rng.rand(cfg.input_dim) < 0.25
+        state, out = sp_step(cfg, state, jnp.asarray(x), True)
+        # numpy integer model
+        weight = perm >= 0
+        overlaps = (weight & x).sum(axis=1)
+        factor = np.exp(-(cfg.boosting_intensity / cfg.density) * duty)
+        boosted = factor.astype(np.float32) * overlaps.astype(np.float32)
+        order = np.lexsort((np.arange(len(boosted)), -boosted))
+        active = np.sort(order[: cfg.active_columns])
+        perm[active] += x * (inc + dec) - dec
+        duty = duty * cfg.duty_cycle_momentum
+        duty[active] += 1.0 - cfg.duty_cycle_momentum
+
+        np.testing.assert_array_equal(np.asarray(out.overlaps), overlaps)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(out.active_columns)), active
+        )
+        np.testing.assert_array_equal(  # bit-exact integer permanences
+            np.asarray(state.permanence).astype(np.int64), perm
+        )
+        assert np.asarray(state.permanence).dtype == np.int16
+
+
+def test_quantized_sp_rejects_offgrid_constants():
+    cfg = SPConfig(input_dim=8, column_dim=8, active_columns=1,
+                   permanence_dtype="int16", permanence_increment=0.0033)
+    state = sp_init(jax.random.key(0), cfg)
+    import pytest
+    with pytest.raises(AssertionError):
+        sp_step(cfg, state, jnp.zeros(8, bool), True)
