@@ -290,14 +290,6 @@ def percell_sum(seg_cell: jnp.ndarray, values: jnp.ndarray,
     return jnp.sum(jnp.where(onehot, values[..., None], 0), axis=-2)
 
 
-def percell_any(seg_cell: jnp.ndarray, mask: jnp.ndarray,
-                cell_dim: int) -> jnp.ndarray:
-    """(..., G) idx + (..., G) bool -> (..., D) per-cell any."""
-    d = jnp.arange(cell_dim, dtype=seg_cell.dtype)
-    onehot = seg_cell[..., None] == d
-    return jnp.any(onehot & mask[..., None], axis=-2)
-
-
 def take_percell(values: jnp.ndarray, seg_cell: jnp.ndarray,
                  cell_dim: int, fill) -> jnp.ndarray:
     """values (..., D) indexed by seg_cell (..., G) -> (..., G), one-hot
