@@ -422,9 +422,10 @@ def tm_step(
     col_active = column_mask_from_cols(active_cols, C)         # (C,)
 
     if learning or compute_winner:
-        col_burst, winner_rows, cell_max_j, seg_j = _winner_selection(
-            cfg, state, k_select, active_cols, pred_rows
-        )
+        with jax.named_scope("tm_winner"):
+            col_burst, winner_rows, cell_max_j, seg_j = _winner_selection(
+                cfg, state, k_select, active_cols, pred_rows
+            )
     else:
         col_burst = ~pred_rows.any(axis=-1)
         winner_rows = jnp.zeros((A, D), jnp.bool_)
@@ -436,10 +437,11 @@ def tm_step(
 
     debug = None
     if learning:
-        syn_mid, perm_mid, seg_cell, learn_metrics, debug = _learn(
-            cfg, state, k_grow, active_cols, pred_rows,
-            winner_rows, cell_max_j, seg_j,
-        )
+        with jax.named_scope("tm_learn"):
+            syn_mid, perm_mid, seg_cell, learn_metrics, debug = _learn(
+                cfg, state, k_grow, active_cols, pred_rows,
+                winner_rows, cell_max_j, seg_j,
+            )
         # punishment: matching segments of non-active columns
         # (projections.py:269,290-293), fused with the forward
         # activation pass into one full-table kernel (disjoint from the
