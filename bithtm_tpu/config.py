@@ -66,10 +66,11 @@ class SPConfig:
     def to_units(self, value: float) -> int:
         """Quantize a permanence-scale constant to integer units."""
         q = round(value / self.permanence_quantum)
-        assert abs(q * self.permanence_quantum - value) < 1e-9, (
-            f"{value} is not a multiple of permanence_quantum "
-            f"{self.permanence_quantum}"
-        )
+        if abs(q * self.permanence_quantum - value) >= 1e-9:
+            raise ValueError(
+                f"{value} is not a multiple of permanence_quantum "
+                f"{self.permanence_quantum}"
+            )
         return q
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,9 +89,12 @@ class DateTimeEncoder:
     """NAB-style timestamp context: cyclic hour-of-day + day-of-week.
     Input is integer seconds-since-epoch (or any consistent origin).
 
-    The phase reduction happens in int32 (exact) — reducing current-era
-    epoch values in float32 would quantize timestamps to its 128-second
-    ulp, aliasing nearby minutes."""
+    The phase reduction happens host-side in int64 (exact for any
+    timestamp) — reducing current-era epoch values in float32 would
+    quantize them to its 128-second ulp, aliasing nearby minutes, and
+    int32 would overflow in 2038. Consequence: this encoder needs
+    concrete (host) values, not jit tracers — encode timestamps outside
+    jit (they come from the data pipeline anyway)."""
 
     hour_size: int = 128
     hour_bits: int = 11
@@ -102,9 +106,11 @@ class DateTimeEncoder:
         return self.hour_size + self.weekday_size
 
     def __call__(self, epoch_seconds) -> jnp.ndarray:
-        t = jnp.asarray(epoch_seconds).astype(jnp.int32)
-        day_phase = (t % 86400).astype(jnp.float32)
-        week_phase = (t % (7 * 86400)).astype(jnp.float32)
+        import numpy as np
+
+        t = np.asarray(jax.device_get(epoch_seconds)).astype(np.int64)
+        day_phase = jnp.asarray((t % 86400).astype(np.float32))
+        week_phase = jnp.asarray((t % (7 * 86400)).astype(np.float32))
         hour = CyclicEncoder(86400.0, self.hour_size,
                              self.hour_bits)(day_phase)
         # epoch day 0 (1970-01-01) was a Thursday; weekday phase only

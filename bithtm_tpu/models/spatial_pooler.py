@@ -54,11 +54,15 @@ def sp_step(cfg: SPConfig, state: SPState, input_bits: jnp.ndarray,
             dec = cfg.to_units(cfg.permanence_decrement)
             thr = cfg.to_units(cfg.permanence_threshold)
             delta = (
-                input_bits.astype(jnp.int16) * jnp.int16(inc + dec)
-                - jnp.int16(dec)
+                input_bits.astype(jnp.int32) * (inc + dec) - dec
             )
-            permanence = permanence + (
-                active_mask[:, None] * delta[None, :]
+            # saturating accumulate (int32 intermediate + clip): a
+            # chronically-reinforced synapse must pin at the rail, not
+            # wrap int16 and silently disconnect
+            permanence = jnp.clip(
+                permanence.astype(jnp.int32)
+                + active_mask[:, None] * delta[None, :],
+                -32000, 32000,
             ).astype(jnp.int16)
             connected = (permanence >= thr).astype(jnp.int8)
         else:

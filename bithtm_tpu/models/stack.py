@@ -15,6 +15,7 @@ and scanning/batching compose exactly as for a single level.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Sequence
 
 import jax
@@ -69,9 +70,6 @@ def stack_step(cfg: StackConfig, state, input_bits: jnp.ndarray,
             metrics[f"L{k}_{name}"] = v
         x = out.tm.active_mask
     return tuple(new_states), StackOutput(tuple(outputs), metrics)
-
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))

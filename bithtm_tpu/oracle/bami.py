@@ -45,8 +45,6 @@ class ParityError(AssertionError):
 def bits_to_cell_set(cols, bits, cell_dim):
     """Decode the compact (cols, bits) active-set encoding into a set of
     global cell ids (shared by OracleTM.compare and oracle_from_state)."""
-    import numpy as np
-
     cells = set()
     cols = np.asarray(cols)
     bits = np.asarray(bits)

@@ -51,14 +51,14 @@ def main():
         sp_overrides={"boosting_intensity": 0.05},
     )
 
-    # signal: 40 clean cycles, a point spike, 10 more cycles, then a
-    # frequency change for the last 10 cycles
+    # signal: clean cycles, a point spike at cycle 45, then a frequency
+    # change for the last 10 cycles
     t = np.arange(60 * period)
     values = np.sin(2 * np.pi * t / period)
-    spike_at = 50 * period + period // 2
-    values[spike_at] = 1.5                               # point anomaly
     change = 50 * period
     values[change:] = np.sin(2 * np.pi * t[change:] / (period / 2))
+    spike_at = 45 * period + period // 2
+    values[spike_at] = 1.5                               # point anomaly
 
     x = np.asarray(concat(
         value_enc(jnp.asarray(values)),
@@ -81,10 +81,12 @@ def main():
     print("mean anomaly per cycle (60 cycles; behavior change at cycle 50):")
     for row in range(0, 60, 10):
         print("  " + " ".join(f"{v:.2f}" for v in per_cycle[row:row + 10]))
-    learned = per_cycle[40:50].mean()
+    learned = per_cycle[40:45].mean()
+    spike_cycle = per_cycle[45]
     changed = per_cycle[50:52].mean()
-    print(f"\nlearned-regime anomaly: {learned:.2f}; "
-          f"after behavior change: {changed:.2f}")
+    print(f"\nlearned-regime anomaly: {learned:.2f}; point-spike cycle: "
+          f"{spike_cycle:.2f}; after behavior change: {changed:.2f}")
+    assert spike_cycle > 1.5 * learned, "point spike should register"
     assert changed > 2 * learned, "anomaly should spike at the change"
     print("anomaly detection works.")
 

@@ -98,3 +98,18 @@ def test_nab_style_anomaly_pipeline():
     ))
     state, m2 = htm_scan(cfg, state, jnp.asarray(x2), True)
     assert np.asarray(m2["anomaly"])[1:].mean() > 0.5
+
+
+def test_datetime_encoder_minute_resolution_current_era():
+    # float32 phase reduction would quantize current-era epochs to its
+    # 128s ulp; with minute-wide buckets a one-minute step must move
+    # the encoding, including for float (f64) inputs
+    enc = DateTimeEncoder(hour_size=1440, hour_bits=21)  # 60s buckets
+    base = 1_755_000_000
+    a = np.asarray(enc(base))
+    b = np.asarray(enc(base + 60))         # one minute later
+    c = np.asarray(enc(float(base + 60)))  # same, as a float timestamp
+    assert not np.array_equal(a, b)
+    np.testing.assert_array_equal(b, c)
+    # 32-bit-overflow era (year 2040) still works
+    _ = np.asarray(enc(2_220_000_000))

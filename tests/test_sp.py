@@ -134,5 +134,5 @@ def test_quantized_sp_rejects_offgrid_constants():
                    permanence_dtype="int16", permanence_increment=0.0033)
     state = sp_init(jax.random.key(0), cfg)
     import pytest
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         sp_step(cfg, state, jnp.zeros(8, bool), True)
