@@ -136,3 +136,24 @@ def test_quantized_sp_rejects_offgrid_constants():
     import pytest
     with pytest.raises(ValueError):
         sp_step(cfg, state, jnp.zeros(8, bool), True)
+
+
+def test_quantized_sp_saturates_instead_of_wrapping():
+    cfg = SPConfig(input_dim=8, column_dim=8, active_columns=8,
+                   permanence_dtype="int16")
+    state = sp_init(jax.random.key(1), cfg)
+    # drive one input bit high for many steps with every column active
+    x = jnp.asarray(np.eye(8, dtype=bool)[0])
+    perm0 = np.asarray(state.permanence)
+    for _ in range(40):
+        state, _ = sp_step(cfg, state, x, True)
+    p = np.asarray(state.permanence)
+    assert (p <= 32000).all() and (p >= -32000 + perm0.min()).all()
+    # long-run rail: clip, not wraparound (column 0 stays connected)
+    state2 = state.replace(
+        permanence=jnp.full_like(state.permanence, 31999),
+        connected=jnp.ones_like(state.connected),
+    )
+    state2, _ = sp_step(cfg, state2, x, True)
+    p2 = np.asarray(state2.permanence)
+    assert p2.max() == 32000 and (p2 > 0).all()  # pinned, no sign flip
