@@ -73,11 +73,25 @@ def batched_state_specs(state: HTMState) -> HTMState:
 
 
 def shard_batched_state(state: HTMState, mesh: Mesh) -> HTMState:
-    """Place a batched HTMState onto the mesh with the standard layout."""
+    """Place a batched HTMState onto the mesh with the standard layout.
+
+    Works in single- and multi-process settings: with multiple processes
+    (`jax.distributed`), every process holds the full host-side state
+    (deterministic init) and contributes its addressable shards via
+    `make_array_from_callback` — `device_put` cannot target
+    non-addressable global shardings."""
     specs = batched_state_specs(state)
-    return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
-    )
+
+    def place(x, s):
+        sharding = NamedSharding(mesh, s)
+        if jax.process_count() > 1:
+            host = jax.device_get(x)
+            return jax.make_array_from_callback(
+                host.shape, sharding, lambda idx: host[idx]
+            )
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(place, state, specs)
 
 
 def sharded_step(cfg, mesh: Mesh, learning: bool = True):
