@@ -156,3 +156,25 @@ def test_parity_all_columns_active():
     cfg = make_cfg(k_active=8, column_dim=8, cell_dim=4,
                    segments_per_column=4)
     run_parity(cfg, steps=80, seed=11)
+
+
+def test_parity_fuzz_random_configs():
+    """Randomized configs (dims, capacities, thresholds) x 40 learning
+    steps, each step compared bit-exactly against the oracle."""
+    rng = np.random.RandomState(1234)
+    for trial in range(6):
+        D = int(rng.choice([1, 2, 3, 4, 8, 33]))
+        C = int(rng.choice([8, 16, 24, 40]))
+        A = int(rng.randint(1, min(C, 6) + 1))
+        G = int(rng.choice([1, 2, 4, 5]))
+        K = int(rng.randint(3, 14))
+        samp = int(rng.randint(1, min(K, 6) + 1))
+        thr = int(rng.randint(1, samp + 1))
+        cfg = make_cfg(
+            k_active=A, column_dim=C, cell_dim=D,
+            segments_per_column=G, synapse_capacity=K,
+            segment_sampling_synapses=samp,
+            segment_matching_threshold=thr,
+            segment_activation_threshold=int(rng.randint(1, thr + 1)),
+        )
+        run_parity(cfg, steps=40, seed=1000 + trial)
