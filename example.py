@@ -80,6 +80,11 @@ def main():
     p.add_argument("--input_noise_probability", type=float, default=0.05)
     p.add_argument("--column_dim", type=int, default=2048)
     p.add_argument("--cell_dim", type=int, default=32)
+    p.add_argument("--active_columns", type=int, default=None,
+                   help="default: round(0.02 * column_dim)")
+    p.add_argument("--activation_threshold", type=int, default=15)
+    p.add_argument("--matching_threshold", type=int, default=15)
+    p.add_argument("--sampling_synapses", type=int, default=32)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--scan", action="store_true",
                    help="run each epoch as one lax.scan")
@@ -115,7 +120,13 @@ def main():
         make_htm_config,
     )
 
-    cfg = make_htm_config(args.input_dim, args.column_dim, args.cell_dim)
+    cfg = make_htm_config(
+        args.input_dim, args.column_dim, args.cell_dim,
+        args.active_columns,
+        segment_activation_threshold=args.activation_threshold,
+        segment_matching_threshold=args.matching_threshold,
+        segment_sampling_synapses=args.sampling_synapses,
+    )
     rng = np.random.RandomState(args.seed)
     inputs = rng.rand(args.input_patterns, args.input_dim) < args.input_density
 
