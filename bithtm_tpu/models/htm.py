@@ -57,6 +57,11 @@ def htm_step(
     `compute_winner` (the reference's `return_winner_cell`,
     `networks.py:91` — False skips the winner-selection jitters on
     inference-only steps) are jit-static."""
+    if input_bits.shape != (cfg.input_dim,):
+        raise ValueError(
+            f"htm_step expects a single ({cfg.input_dim},) input SDR, got "
+            f"{input_bits.shape}; use htm_step_batch for a (B, I) batch"
+        )
     key, sub = jax.random.split(state.key)
     with jax.named_scope("sp"):
         sp_state, sp_out = sp_step(cfg.sp, state.sp, input_bits, learning)
@@ -90,7 +95,17 @@ def htm_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
 
     Returns (final_state, per-step metrics dict of [T]-leading arrays).
     """
+    if inputs.ndim not in (2, 3) or inputs.shape[-1] != cfg.input_dim:
+        raise ValueError(
+            f"htm_scan expects [T, {cfg.input_dim}] or "
+            f"[T, B, {cfg.input_dim}] inputs, got {inputs.shape}"
+        )
     batched = inputs.ndim == 3
+    if batched and state.tm.prediction.ndim != 3:
+        raise ValueError(
+            "batched [T, B, I] inputs need a batched state "
+            "(htm_init_batch), got a single-stream state"
+        )
     if unroll == 0:
         unroll = 4 if jax.default_backend() == "tpu" else 1
 

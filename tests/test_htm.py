@@ -158,3 +158,16 @@ def test_inference_serving_keeps_predicting():
     novel = jnp.asarray(rng.rand(5, cfg.input_dim) < 0.2)
     state, m2 = htm_scan(cfg, state, novel, False)
     assert np.asarray(m2["anomaly"]).mean() > 0.7
+
+
+def test_shape_errors_are_friendly():
+    import pytest
+
+    cfg = small_cfg()
+    state = htm_init(jax.random.key(0), cfg)
+    with pytest.raises(ValueError, match="htm_step expects"):
+        htm_step(cfg, state, jnp.zeros((3, cfg.input_dim), bool))
+    with pytest.raises(ValueError, match="htm_scan expects"):
+        htm_scan(cfg, state, jnp.zeros((5, cfg.input_dim + 1), bool), True)
+    with pytest.raises(ValueError, match="batched"):
+        htm_scan(cfg, state, jnp.zeros((5, 2, cfg.input_dim), bool), True)
