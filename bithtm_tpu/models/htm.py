@@ -83,15 +83,19 @@ def htm_step_batch(cfg, state, input_bits, learning=True,
     )(state, input_bits)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4), donate_argnums=(1,))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5),
+                   donate_argnums=(1,))
 def htm_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
-             learning: bool = True, unroll: int = 0):
+             learning: bool = True, unroll: int = 0,
+             compute_winner: bool = True):
     """Scan a [T, ...] (or [T, B, ...] batched) input sequence through the
     recurrence. Carry is donated: the synapse pool updates in place.
 
     `unroll=0` picks automatically: 4 on TPU (amortizes the scan loop's
     per-iteration bookkeeping, measured +20% throughput for ~3x compile
     time), 1 elsewhere (keeps CPU test compiles fast).
+    `compute_winner=False` (inference only) skips the winner-selection
+    jitters — the pure anomaly-serving fast path.
 
     Returns (final_state, per-step metrics dict of [T]-leading arrays).
     """
@@ -111,9 +115,11 @@ def htm_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
 
     def body(carry, x):
         if batched:
-            new_state, out = htm_step_batch(cfg, carry, x, learning)
+            new_state, out = htm_step_batch(cfg, carry, x, learning,
+                                            compute_winner)
         else:
-            new_state, out = htm_step(cfg, carry, x, learning)
+            new_state, out = htm_step(cfg, carry, x, learning,
+                                      compute_winner)
         return new_state, out.metrics
 
     return jax.lax.scan(body, state, inputs, unroll=unroll)
