@@ -179,15 +179,67 @@ def _allocate(cfg: TMConfig, segcell_rows, syn_rows, unacc):
     return new_seg, new_owner, n_dropped
 
 
+def _select_and_fill(pri, n_grow, cand_cell, free, samp, method):
+    """Growth-candidate selection + free-slot fill, shared core of
+    `_grow` (replace_free semantics, `utils.py:44-76`): per row, choose
+    the ``n_grow[i]`` smallest finite priorities, then map the r-th
+    chosen candidate (ascending candidate index) to the r-th free slot
+    (ascending slot index).
+
+    Two equivalent methods (same chosen set away from measure-zero
+    priority ties):
+      * ``pairwise`` — O(Wc^2) rank-count compares; fastest when the
+        candidate axis is one lane wide (Wc <= 128).
+      * ``topk`` — `lax.top_k` of the `samp` smallest (``n_grow <=
+        samp`` always, by the clip rule `projections.py:115`); avoids
+        the quadratic blowup for wide candidate lists (A > 128 configs).
+
+    Returns (gathered (L,K) int32 candidate per slot — garbage where
+    not written, wrote_l (L,K) bool, n_chosen (L,) int32)."""
+    L, Wc = pri.shape
+    K = free.shape[-1]
+    free_rank = rank_ascending(free)                             # (L, K)
+    if method == "pairwise":
+        rank = jnp.sum(
+            pri[:, None, :] < pri[:, :, None], axis=-1, dtype=jnp.int32
+        )                                                        # (L, Wc)
+        chosen = (pri < jnp.inf) & (rank < n_grow[:, None])
+        chosen_rank = rank_ascending(chosen)                     # (L, Wc)
+        n_chosen = chosen.sum(axis=-1, dtype=jnp.int32)          # (L,)
+        match = chosen[:, None, :] & (
+            chosen_rank[:, None, :] == free_rank[:, :, None]
+        )                                                        # (L, K, Wc)
+        gathered = jnp.sum(match * cand_cell, axis=-1, dtype=jnp.int32)
+    elif method == "topk":
+        kk = min(samp, Wc)
+        vals, idx = jax.lax.top_k(-pri, kk)                      # (L, kk)
+        sel = (vals > -jnp.inf) & (
+            jnp.arange(kk, dtype=jnp.int32) < n_grow[:, None]
+        )
+        n_chosen = sel.sum(axis=-1, dtype=jnp.int32)
+        # ascending candidate index for the rank-paired fill; invalid
+        # entries pushed past the end with the Wc sentinel
+        idx_sorted = jnp.sort(
+            jnp.where(sel, idx.astype(jnp.int32), Wc), axis=-1
+        )                                                        # (L, kk)
+        by_rank = jnp.take(cand_cell, idx_sorted, mode="clip")   # (L, kk)
+        gathered = jnp.take_along_axis(
+            by_rank, jnp.clip(free_rank, 0, kk - 1), axis=1
+        )                                                        # (L, K)
+    else:
+        raise ValueError(f"unknown selection method {method!r}")
+    wrote_l = free & (free_rank < n_chosen[:, None])
+    return gathered, wrote_l, n_chosen
+
+
 def _grow(cfg: TMConfig, key, syn_rows, perm_rows, learn_rows,
           act_prev_rows, prev_cols, prev_winner_bits):
     """Synapse growth toward previous winner cells
     (`projections.py:111-161,190-192`): per learning segment, grow
     n = clip(sampling - active_potential, 0, min(sampling, n_winners))
     random candidates (i.i.d. uniform priorities, smallest-n selected by
-    pairwise rank count — no sort), never duplicating existing targets,
-    written into free slots in ascending candidate/slot order
-    (`utils.py:44-76`).
+    `_select_and_fill`), never duplicating existing targets, written
+    into free slots in ascending candidate/slot order (`utils.py:44-76`).
 
     The growing segments (typically ~1 per active column out of the
     A*G active-column slots) are first compacted to an L-wide list so
@@ -241,25 +293,11 @@ def _grow(cfg: TMConfig, key, syn_rows, perm_rows, learn_rows,
     existing = (syn_l[:, :, None] == cand_cell).any(axis=1)      # (L, Wc)
     pri = jnp.where(cand_valid & ~existing, pri, jnp.inf)
 
-    # Select the n_grow smallest priorities per row by pairwise rank
-    # count (Wc is narrow, so O(Wc^2) vector compares beat any sort).
-    rank = jnp.sum(
-        pri[:, None, :] < pri[:, :, None], axis=-1, dtype=jnp.int32
-    )                                                            # (L, Wc)
-    chosen = (pri < jnp.inf) & (rank < n_grow[:, None])
-
-    # Fill free slots: r-th chosen candidate -> r-th free slot, both
-    # ascending (replace_free semantics, utils.py:44-76), one-hot matched
-    # so no scatter is needed.
     free = ~live_l
-    free_rank = rank_ascending(free)                             # (L, K)
-    chosen_rank = rank_ascending(chosen)                         # (L, Wc)
-    n_chosen = chosen.sum(axis=-1, dtype=jnp.int32)              # (L,)
-    match = chosen[:, None, :] & (
-        chosen_rank[:, None, :] == free_rank[:, :, None]
-    )                                                            # (L, K, Wc)
-    gathered = jnp.sum(match * cand_cell, axis=-1, dtype=jnp.int32)
-    wrote_l = free & (free_rank < n_chosen[:, None])
+    method = "pairwise" if Wc <= 128 else "topk"
+    gathered, wrote_l, n_chosen = _select_and_fill(
+        pri, n_grow, cand_cell, free, samp, method
+    )
     new_syn_l = jnp.where(wrote_l, gathered, syn_l)
 
     # --- scatter the L rows back into the (A, G, K) active-column rows

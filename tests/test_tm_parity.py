@@ -178,3 +178,83 @@ def test_parity_fuzz_random_configs():
             segment_activation_threshold=int(rng.randint(1, thr + 1)),
         )
         run_parity(cfg, steps=40, seed=1000 + trial)
+
+
+def test_select_and_fill_methods_agree():
+    """The pairwise-rank and top_k growth-selection paths are
+    interchangeable: same chosen candidates, same slot fills."""
+    from bithtm_tpu.models.temporal_memory import _select_and_fill
+
+    rng = np.random.RandomState(42)
+    for trial in range(20):
+        L = int(rng.randint(1, 12))
+        Wc = int(rng.choice([4, 16, 130, 260]))
+        K = int(rng.randint(3, 20))
+        samp = int(rng.randint(1, 34))
+        pri = rng.rand(L, Wc).astype(np.float32)
+        # random invalid candidates (existing targets / past list end)
+        pri[rng.rand(L, Wc) < 0.3] = np.inf
+        n_grow = rng.randint(0, min(samp, Wc) + 1, size=L).astype(np.int32)
+        cand_cell = rng.randint(0, 1000, size=Wc).astype(np.int32)
+        free = rng.rand(L, K) < 0.5
+        outs = {}
+        for method in ("pairwise", "topk"):
+            gathered, wrote, n_chosen = jax.device_get(
+                _select_and_fill(
+                    jnp.asarray(pri), jnp.asarray(n_grow),
+                    jnp.asarray(cand_cell), jnp.asarray(free),
+                    samp, method,
+                )
+            )
+            outs[method] = (np.where(wrote, gathered, -1), wrote, n_chosen)
+        for a, b in zip(outs["pairwise"], outs["topk"]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_parity_wide_active_set_no_truncation():
+    """A=160 > the old 128 cap (VERDICT r1 #2): bit-exact parity with
+    auto-scaled winner/growth capacities, zero drop counters, and
+    synapse growth reaching high column ids (no low-id bias)."""
+    cfg = make_cfg(
+        k_active=160, column_dim=800, cell_dim=4,
+        segments_per_column=8, synapse_capacity=12,
+        segment_sampling_synapses=4,
+    )
+    assert cfg.resolved_winner_capacity >= 2 * cfg.active_columns
+    assert cfg.resolved_growth_capacity >= 2 * cfg.active_columns
+
+    step_fn = jax.jit(
+        functools.partial(tm_step, cfg),
+        static_argnames=("learning", "compute_winner", "return_debug"),
+    )
+    state = tm_init(cfg)
+    oracle = OracleTM(cfg)
+    rng = np.random.RandomState(99)
+    key = jax.random.key(99)
+    grown_cols = set()
+    for t in range(25):
+        cols = np.sort(rng.choice(cfg.column_dim, size=cfg.active_columns,
+                                  replace=False)).astype(np.int32)
+        key, sub = jax.random.split(key)
+        state, out, debug = step_fn(
+            state, sub, jnp.asarray(cols), learning=True, return_debug=True
+        )
+        metrics = jax.device_get(out.metrics)
+        for name in ("tm_dropped_winner_candidates",
+                     "tm_dropped_growth_segments",
+                     "tm_dropped_new_segments",
+                     "tm_dropped_synapses"):
+            assert int(metrics[name]) == 0, (t, name, metrics[name])
+        host_debug = jax.device_get(debug)
+        decisions = extract_decisions(host_debug)
+        oracle.step(cols, decisions, learning=True)
+        oracle.compare(jax.device_get(state))
+        grown_cols |= set(
+            np.nonzero(np.asarray(host_debug.grown_mask).any(axis=(1, 2)))[0]
+            .tolist()
+        )
+    # growth must reach the upper half of the column range: with the old
+    # fixed 128-wide candidate list only the lowest winner cell ids ever
+    # received synapses
+    assert max(grown_cols) > cfg.column_dim // 2, sorted(grown_cols)[-5:]
+    assert len(grown_cols) > cfg.active_columns
