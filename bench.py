@@ -71,9 +71,10 @@ def main():
 
     learn = not args.inference
     suffix = "learning" if learn else "inference"
+    shape = f"{args.column_dim}x{args.cell_dim}"
     if args.mode == "htm":
         run = lambda st: htm_scan(cfg, st, seq, learn)
-        metric = f"aggregate_timesteps_per_sec_2048x32_{suffix}"
+        metric = f"aggregate_timesteps_per_sec_{shape}_{suffix}"
     elif args.mode == "sp":
         # SpatialPooler only: overlap matmul + boosting + top-k + Hebbian
         # update, scanned over the sequence (BASELINE configs[1]).
@@ -90,7 +91,7 @@ def main():
                 return new, out.boosted_overlaps.sum(-1)
             sp_final, boosted = jax.lax.scan(body, st.sp, seq)
             return st.replace(sp=sp_final), {"anomaly": boosted}
-        metric = f"sp_only_timesteps_per_sec_2048x32_{suffix}"
+        metric = f"sp_only_timesteps_per_sec_{shape}_{suffix}"
     else:
         # TemporalMemory full learning driven by fixed column sequences
         # (BASELINE configs[2]); SP is bypassed with random top-k sets.
@@ -121,7 +122,7 @@ def main():
             return st.replace(tm=tm_final, key=key), {
                 "anomaly": burst.astype(jnp.float32)
             }
-        metric = f"tm_only_timesteps_per_sec_2048x32_{suffix}"
+        metric = f"tm_only_timesteps_per_sec_{shape}_{suffix}"
 
     t0 = time.time()
     state, metrics = run(state)

@@ -8,7 +8,10 @@ values share none.
 
 All encoders are pure functions on jnp arrays, batch-friendly (leading
 axes broadcast) and jittable, producing bool SDRs that feed
-`HierarchicalTemporalMemory.process` / `htm_step` directly.
+`HierarchicalTemporalMemory.process` / `htm_step` directly — except
+`DateTimeEncoder.encode`, which needs concrete host-side datetimes
+(calendar math) and must NOT be wrapped in `jit`; encode on the host,
+then feed the resulting SDRs to the jitted step.
 """
 
 from __future__ import annotations

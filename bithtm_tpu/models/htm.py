@@ -52,11 +52,23 @@ def htm_step(
     input_bits: jnp.ndarray,
     learning: bool = True,
     compute_winner: bool = True,
+    boosting=None,
+    inhibition=None,
+    temporal_memory=None,
 ) -> tuple[HTMState, HTMOutput]:
     """One full timestep for a single stream. `learning` and
     `compute_winner` (the reference's `return_winner_cell`,
     `networks.py:91` — False skips the winner-selection jitters on
-    inference-only steps) are jit-static."""
+    inference-only steps) are jit-static.
+
+    `boosting` / `inhibition` forward to `sp_step`'s component hooks;
+    `temporal_memory` substitutes the TM step itself (the reference's
+    `temporal_memory=` constructor injection, `networks.py:134,144`,
+    which is how its example swaps in the oracle, `example.py:7-12`):
+
+      temporal_memory(tm_cfg, tm_state, key, active_cols,
+                      learning, compute_winner) -> (tm_state, TMOutput)
+    """
     if input_bits.shape != (cfg.input_dim,):
         raise ValueError(
             f"htm_step expects a single ({cfg.input_dim},) input SDR, got "
@@ -64,11 +76,13 @@ def htm_step(
         )
     key, sub = jax.random.split(state.key)
     with jax.named_scope("sp"):
-        sp_state, sp_out = sp_step(cfg.sp, state.sp, input_bits, learning)
+        sp_state, sp_out = sp_step(cfg.sp, state.sp, input_bits, learning,
+                                   boosting=boosting, inhibition=inhibition)
     with jax.named_scope("tm"):
-        tm_state, tm_out = tm_step(
+        tm_fn = tm_step if temporal_memory is None else temporal_memory
+        tm_state, tm_out = tm_fn(
             cfg.tm, state.tm, sub, sp_out.active_columns,
-            learning=learning, compute_winner=compute_winner,
+            learning, compute_winner,
         )
     new_state = HTMState(sp=sp_state, tm=tm_state, key=key)
     return new_state, HTMOutput(sp_out, tm_out, _step_metrics(cfg, sp_out, tm_out))
@@ -109,6 +123,12 @@ def htm_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
         raise ValueError(
             "batched [T, B, I] inputs need a batched state "
             "(htm_init_batch), got a single-stream state"
+        )
+    if not batched and state.tm.prediction.ndim == 3:
+        raise ValueError(
+            "unbatched [T, I] inputs need a single-stream state "
+            "(htm_init), got a batched state — add a stream axis to "
+            "the inputs or use htm_init"
         )
     if unroll == 0:
         unroll = 4 if jax.default_backend() == "tpu" else 1

@@ -36,11 +36,29 @@ class SPOutput(NamedTuple):
 
 
 def sp_step(cfg: SPConfig, state: SPState, input_bits: jnp.ndarray,
-            learning: bool) -> tuple[SPState, SPOutput]:
-    """One SP timestep for a single stream. `learning` is jit-static."""
+            learning: bool, boosting=None,
+            inhibition=None) -> tuple[SPState, SPOutput]:
+    """One SP timestep for a single stream. `learning` is jit-static.
+
+    `boosting` / `inhibition` are optional component hooks mirroring the
+    reference's constructor injection (`networks.py:14-24`, where the
+    example swaps implementations in, `example.py:7-12`):
+
+      boosting(cfg, overlaps (C,) i32, duty_cycle (C,) f32) -> (C,) f32
+      inhibition(cfg, boosted (C,) f32) -> ((A,) i32 cols, (C,) bool mask)
+
+    None selects the reference-default exponential boosting / global
+    top-k inhibition. Hooks must be jit-traceable (static callables)."""
     ov = _overlaps(state.connected, input_bits)
-    boosted = boost(ov, state.duty_cycle, cfg.boosting_intensity, cfg.density)
-    active_columns, active_mask = k_winners(boosted, cfg.active_columns)
+    if boosting is None:
+        boosted = boost(ov, state.duty_cycle, cfg.boosting_intensity,
+                        cfg.density)
+    else:
+        boosted = boosting(cfg, ov, state.duty_cycle)
+    if inhibition is None:
+        active_columns, active_mask = k_winners(boosted, cfg.active_columns)
+    else:
+        active_columns, active_mask = inhibition(cfg, boosted)
 
     permanence = state.permanence
     connected = state.connected

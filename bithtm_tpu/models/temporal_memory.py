@@ -440,6 +440,7 @@ def tm_step(
     learning: bool = True,
     compute_winner: bool = True,
     return_debug: bool = False,
+    epsilon: float | None = None,
 ):
     """One TM timestep for a single stream.
 
@@ -447,8 +448,13 @@ def tm_step(
     order; sorted internally so downstream compaction is by ascending
     id). `learning`, `compute_winner`, `return_debug` are jit-static,
     mirroring the `learning` / `return_winner_cell` flags of
-    `networks.py:91`.
+    `networks.py:91`. `epsilon` overrides `cfg.epsilon` for this call
+    (the reference exposes it per `process` call, `networks.py:91`).
     """
+    if epsilon is not None and epsilon != cfg.epsilon:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, epsilon=float(epsilon))
     C, D, G, K = (cfg.column_dim, cfg.cell_dim, cfg.segments_per_column,
                   cfg.synapse_capacity)
     A, J = cfg.active_columns, G * K

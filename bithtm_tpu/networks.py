@@ -27,35 +27,49 @@ from .models.temporal_memory import tm_step
 from .state import htm_init, sp_init, tm_init
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
-def _jit_htm_step(cfg, state, x, learning, compute_winner):
-    return htm_step(cfg, state, x, learning, compute_winner)
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
+def _jit_htm_step(cfg, state, x, learning, compute_winner,
+                  boosting, inhibition, temporal_memory):
+    return htm_step(cfg, state, x, learning, compute_winner,
+                    boosting=boosting, inhibition=inhibition,
+                    temporal_memory=temporal_memory)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def _jit_sp_step(cfg, state, x, learning):
-    return sp_step(cfg, state, x, learning)
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _jit_sp_step(cfg, state, x, learning, boosting, inhibition):
+    return sp_step(cfg, state, x, learning,
+                   boosting=boosting, inhibition=inhibition)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
-def _jit_tm_step(cfg, state, key, active_cols, learning, compute_winner):
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _jit_tm_step(cfg, state, key, active_cols, learning, compute_winner,
+                 epsilon):
     return tm_step(cfg, state, key, active_cols, learning=learning,
-                   compute_winner=compute_winner)
+                   compute_winner=compute_winner, epsilon=epsilon)
 
 
 class SpatialPooler:
-    """Stateful wrapper over `sp_step` (reference `networks.py:7-35`)."""
+    """Stateful wrapper over `sp_step` (reference `networks.py:7-35`).
+
+    `boosting` / `inhibition` are optional component hooks (see
+    `sp_step`), mirroring the reference's constructor injection of
+    `ExponentialBoosting` / `GlobalInhibition` (`networks.py:14-24`).
+    They must be hashable jit-traceable callables (e.g. module-level
+    functions)."""
 
     def __init__(self, input_dim, column_dim, active_columns, seed=0,
-                 **overrides):
+                 boosting=None, inhibition=None, **overrides):
         self.config = SPConfig(input_dim=input_dim, column_dim=column_dim,
                                active_columns=active_columns, **overrides)
         self.active_columns = active_columns
+        self.boosting = boosting
+        self.inhibition = inhibition
         self.state = sp_init(jax.random.key(seed), self.config)
 
     def process(self, input_bits, learning=True):
         x = jnp.asarray(np.asarray(input_bits), jnp.bool_)
-        self.state, out = _jit_sp_step(self.config, self.state, x, learning)
+        self.state, out = _jit_sp_step(self.config, self.state, x, learning,
+                                       self.boosting, self.inhibition)
         return out
 
 
@@ -71,32 +85,46 @@ class TemporalMemory:
         self.state = tm_init(self.config)
         self.key = jax.random.key(seed)
 
-    def process(self, sp_output, learning=True, return_winner_cell=True):
+    def process(self, sp_output, learning=True, return_winner_cell=True,
+                epsilon=None):
+        """`epsilon` overrides the config's tie-equality tolerance for
+        this call (reference `networks.py:91`)."""
         self.key, sub = jax.random.split(self.key)
         self.state, out = _jit_tm_step(
             self.config, self.state, sub, sp_output.active_columns,
-            learning, return_winner_cell,
+            learning, return_winner_cell, epsilon,
         )
         return out
 
 
 class HierarchicalTemporalMemory:
-    """Stateful wrapper over `htm_step` (reference `networks.py:131-149`)."""
+    """Stateful wrapper over `htm_step` (reference `networks.py:131-149`).
+
+    `boosting` / `inhibition` / `temporal_memory` are optional component
+    hooks, mirroring the reference's constructor injection
+    (`networks.py:134,144` — its example swaps in the oracle TM through
+    `temporal_memory=`, `example.py:7-12`). See `htm_step` for the hook
+    signatures; hooks must be hashable jit-traceable callables."""
 
     def __init__(self, input_dim, column_dim, cell_dim, active_columns=None,
-                 seed=0, **tm_overrides):
+                 seed=0, boosting=None, inhibition=None,
+                 temporal_memory=None, **tm_overrides):
         self.config: HTMConfig = make_htm_config(
             input_dim, column_dim, cell_dim, active_columns, **tm_overrides
         )
         self.column_dim = column_dim
         self.cell_dim = cell_dim
         self.active_columns = self.config.sp.active_columns
+        self.boosting = boosting
+        self.inhibition = inhibition
+        self.temporal_memory = temporal_memory
         self.state = htm_init(jax.random.key(seed), self.config)
 
     def process(self, input_bits, learning=True, return_winner_cell=True):
         x = jnp.asarray(np.asarray(input_bits), jnp.bool_)
         self.state, out = _jit_htm_step(
-            self.config, self.state, x, learning, return_winner_cell
+            self.config, self.state, x, learning, return_winner_cell,
+            self.boosting, self.inhibition, self.temporal_memory,
         )
         self.last_metrics = {k: np.asarray(v) for k, v in out.metrics.items()}
         return out.sp, out.tm

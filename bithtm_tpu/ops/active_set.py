@@ -68,9 +68,15 @@ def column_mask_from_cols(cols: jnp.ndarray, column_dim: int) -> jnp.ndarray:
     return (c[:, None] == cols[None, :]).any(axis=1)
 
 
+_warned_fallback_shapes: set = set()
+
+
 def _pallas_block(rows: int, row_bytes: int) -> int:
     """Largest power-of-two row-block (<= 512, VMEM-bounded) dividing
-    `rows`; 0 if none fits (-> XLA fallback)."""
+    `rows`; 0 if none fits (-> XLA fallback, with a one-time warning:
+    the fused single-HBM-pass kernel needs a power-of-two block >= 8
+    dividing the column count — pick a column_dim divisible by 8 to
+    stay on the fast path)."""
     # budget for ONE synapse tile: the pipeline holds ~2x(in+out) tiles
     # plus the u32 accumulator, so keep the tile well under the 16MB
     # VMEM. 2MB (-> 256-row blocks at the default J=384) measured ~same
@@ -81,7 +87,21 @@ def _pallas_block(rows: int, row_bytes: int) -> int:
         if rows % b == 0 and b * row_bytes <= budget:
             return b
         b //= 2
-    return rows if rows * row_bytes <= budget else 0
+    if rows * row_bytes <= budget:
+        return rows
+    if (rows, row_bytes) not in _warned_fallback_shapes:
+        _warned_fallback_shapes.add((rows, row_bytes))
+        import warnings
+
+        warnings.warn(
+            f"bithtm_tpu: column_dim={rows} has no power-of-two block "
+            f">= 8 that divides it within the VMEM budget; the fused "
+            f"Pallas table kernels fall back to the (slower, identical-"
+            f"result) XLA path. Use a column_dim divisible by 8 to keep "
+            f"the fused kernel.",
+            stacklevel=3,
+        )
+    return 0
 
 
 def synapse_activation(

@@ -65,9 +65,12 @@ def prefetch_to_device(chunks: Iterable, buffer_size: int = 2,
                 raise item
             yield item
     finally:
-        # consumer done or bailed early: release the producer and drop
-        # any queued device buffers
+        # consumer done or bailed early: release the producer, wait for
+        # it to notice (so no q.put can race the drain below and leave a
+        # device chunk referenced by the abandoned queue), then drop any
+        # queued device buffers
         abandoned.set()
+        t.join(timeout=5.0)
         while not q.empty():
             try:
                 q.get_nowait()

@@ -1,0 +1,125 @@
+"""Component dependency injection through the public wrapper API
+(reference constructor injection, `networks.py:14-24,134,144`), the
+per-call epsilon override (`networks.py:91`), and operability warnings.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bithtm_tpu import HierarchicalTemporalMemory, SpatialPooler
+from bithtm_tpu.models.temporal_memory import tm_step
+from bithtm_tpu.ops.regularization import k_winners
+
+
+def identity_boosting(cfg, overlaps, duty_cycle):
+    return overlaps.astype(jnp.float32)
+
+
+def halfwise_inhibition(cfg, boosted):
+    """Local inhibition: top-k/2 within each half of the column range."""
+    C = cfg.column_dim
+    k = cfg.active_columns // 2
+    lo_cols, _ = k_winners(boosted[: C // 2], k)
+    hi_cols, _ = k_winners(boosted[C // 2:], k)
+    cols = jnp.concatenate([lo_cols, hi_cols + C // 2])
+    mask = jnp.zeros((C,), jnp.bool_).at[cols].set(True)
+    return cols, mask
+
+
+def tagged_tm(cfg, state, key, active_cols, learning, compute_winner):
+    new_state, out = tm_step(cfg, state, key, active_cols,
+                             learning=learning,
+                             compute_winner=compute_winner)
+    return new_state, out._replace(
+        metrics={**out.metrics, "custom_tm_called": jnp.int32(1)}
+    )
+
+
+def _input(seed=0, dim=64):
+    return np.random.RandomState(seed).rand(dim) < 0.2
+
+
+def test_custom_inhibition_through_sp_wrapper():
+    sp = SpatialPooler(64, 64, 8, inhibition=halfwise_inhibition)
+    out = sp.process(_input())
+    cols = np.asarray(out.active_columns)
+    assert (cols < 32).sum() == 4 and (cols >= 32).sum() == 4
+
+
+def test_custom_boosting_through_sp_wrapper():
+    sp = SpatialPooler(64, 64, 8, boosting=identity_boosting)
+    out = sp.process(_input())
+    np.testing.assert_array_equal(
+        np.asarray(out.boosted_overlaps), np.asarray(out.overlaps)
+    )
+
+
+def test_custom_inhibition_through_htm_wrapper():
+    htm = HierarchicalTemporalMemory(
+        64, 64, 4, active_columns=8, inhibition=halfwise_inhibition,
+        segment_activation_threshold=2, segment_matching_threshold=2,
+        segment_sampling_synapses=8,
+    )
+    for t in range(4):
+        sp_out, tm_out = htm.process(_input(t))
+        cols = np.asarray(sp_out.active_columns)
+        assert (cols < 32).sum() == 4 and (cols >= 32).sum() == 4
+
+
+def test_custom_temporal_memory_through_htm_wrapper():
+    htm = HierarchicalTemporalMemory(
+        64, 64, 4, active_columns=4, temporal_memory=tagged_tm,
+        segment_activation_threshold=2, segment_matching_threshold=2,
+        segment_sampling_synapses=8,
+    )
+    htm.process(_input())
+    assert int(htm.last_metrics["custom_tm_called"]) == 1
+
+
+def test_epsilon_per_call():
+    from bithtm_tpu import TemporalMemory
+
+    tm = TemporalMemory(32, 4, active_columns=4,
+                        segment_activation_threshold=2,
+                        segment_matching_threshold=2,
+                        segment_sampling_synapses=4)
+    sp = SpatialPooler(64, 32, 4)
+    sp_out = sp.process(_input())
+    tm.process(sp_out)                      # cfg default epsilon
+    tm.process(sp_out, epsilon=1e-6)        # per-call override retraces
+    tm.process(sp_out, epsilon=tm.config.epsilon)  # no-op override
+
+
+def test_pallas_fallback_warns_once():
+    from bithtm_tpu.ops import active_set
+
+    active_set._warned_fallback_shapes.clear()
+    # 2049 rows x 1536B: odd row count, > VMEM budget -> fallback + warn
+    with pytest.warns(UserWarning, match="fall back"):
+        assert active_set._pallas_block(2049, 1536) == 0
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")     # second call must stay silent
+        assert active_set._pallas_block(2049, 1536) == 0
+    # eligible shapes never warn
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert active_set._pallas_block(2048, 1536) == 512
+        # the fused table-update tile (12B/slot) lands on 256-row blocks
+        assert active_set._pallas_block(2048, 4608) == 256
+
+
+def test_htm_scan_rejects_unbatched_inputs_with_batched_state():
+    from bithtm_tpu import htm_init_batch, htm_scan, make_htm_config
+
+    cfg = make_htm_config(32, 32, 4, active_columns=4,
+                          segment_activation_threshold=2,
+                          segment_matching_threshold=2,
+                          segment_sampling_synapses=4)
+    state = htm_init_batch(jax.random.key(0), cfg, 2)
+    seq = jnp.zeros((3, cfg.input_dim), jnp.bool_)
+    with pytest.raises(ValueError, match="single-stream state"):
+        htm_scan(cfg, state, seq, True)
