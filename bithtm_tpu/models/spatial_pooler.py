@@ -5,12 +5,13 @@ overlaps -> boosting -> global inhibition -> (if learning) Hebbian
 proximal update; the boosting duty-cycle EMA updates even when
 learning=False (`networks.py:33`).
 
-TPU notes: the overlap is an int8 MXU matmul (`ops/overlap.py`). The
-Hebbian update touches only the k active rows, but a row scatter on the
-(C, I) tables lowers to layout-flipping copies of the whole table under
-vmap; a masked full-table elementwise update is cheaper (one fused
-read+write pass, no relayout). The int8 connected matrix is derived
-from the permanences inside the same pass instead of being cached.
+TPU notes: the overlap is a popcount over the bit-packed connection
+matrix (`ops/overlap.py`). The Hebbian update touches only the k active
+rows, but a row scatter on the (C, I) tables lowers to layout-flipping
+copies of the whole table under vmap; a masked full-table elementwise
+update is cheaper (one fused read+write pass, no relayout). The packed
+connected matrix is re-derived from the permanences inside the same
+pass.
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..config import SPConfig
-from ..ops.overlap import overlaps as _overlaps
+from ..ops.overlap import overlaps as _overlaps, pack_input
 from ..ops.regularization import boost, duty_cycle_update, k_winners
 from ..state import SPState
 
@@ -82,15 +83,13 @@ def sp_step(cfg: SPConfig, state: SPState, input_bits: jnp.ndarray,
                 + active_mask[:, None] * delta[None, :],
                 -32000, 32000,
             ).astype(jnp.int16)
-            connected = (permanence >= thr).astype(jnp.int8)
+            connected = pack_input(permanence >= thr)
         else:
             delta = input_bits.astype(jnp.float32) * (
                 cfg.permanence_increment + cfg.permanence_decrement
             ) - cfg.permanence_decrement
             permanence = permanence + active_mask[:, None] * delta[None, :]
-            connected = (
-                permanence >= cfg.permanence_threshold
-            ).astype(jnp.int8)
+            connected = pack_input(permanence >= cfg.permanence_threshold)
 
     duty = duty_cycle_update(state.duty_cycle, active_mask,
                              cfg.duty_cycle_momentum)

@@ -52,7 +52,7 @@ def batched_state_specs(state: HTMState) -> HTMState:
     d, m = DATA_AXIS, MODEL_AXIS
     sp = SPState(
         permanence=P(d, m, None),   # (B, C, I)
-        connected=P(d, m, None),    # (B, C, I)
+        connected=P(d, m, None),    # (B, C, Iw packed)
         duty_cycle=P(d, m),         # (B, C)
     )
     tm = TMState(

@@ -35,13 +35,14 @@ class SPState(struct.PyTreeNode):
     """Spatial pooler parameters + homeostasis.
 
     ``permanence`` is the learnable proximal matrix (`projections.py:16`);
-    ``connected`` caches ``permanence >= threshold`` as int8 so the hot
-    forward overlap is an int8 MXU matmul without re-reading f32 weights;
+    ``connected`` caches ``permanence >= threshold`` bit-packed so the
+    hot forward overlap is an AND+popcount over 1/8th the bytes of an
+    int8 matrix, without re-reading the full-width permanences;
     ``duty_cycle`` is the boosting EMA (`regularizations.py:13`).
     """
 
-    permanence: jax.Array   # (C, I) float32
-    connected: jax.Array    # (C, I) int8 (cached permanence >= threshold)
+    permanence: jax.Array   # (C, I) float32 (or int16 quantized units)
+    connected: jax.Array    # (C, ceil(I/8)) uint8 packed bitmask
     duty_cycle: jax.Array   # (C,) float32
 
 
@@ -106,12 +107,14 @@ def sp_init(key: jax.Array, cfg: SPConfig) -> SPState:
         * cfg.permanence_std
         + cfg.permanence_mean
     )
+    from .ops.overlap import pack_input
+
     if cfg.quantized:
         perm = jnp.round(perm / cfg.permanence_quantum).astype(jnp.int16)
         thr = cfg.to_units(cfg.permanence_threshold)
-        connected = (perm >= thr).astype(jnp.int8)
+        connected = pack_input(perm >= thr)
     else:
-        connected = (perm >= cfg.permanence_threshold).astype(jnp.int8)
+        connected = pack_input(perm >= cfg.permanence_threshold)
     return SPState(
         permanence=perm,
         connected=connected,

@@ -75,8 +75,13 @@ def validate_state(cfg, state) -> None:
         raise StateInvariantError("NaN SP permanence")
     thr = (cfg.sp.to_units(cfg.sp.permanence_threshold)
            if cfg.sp.quantized else cfg.sp.permanence_threshold)
-    expect = (perm >= thr).astype(np.int8)
-    if not (conn == expect).all():
+    expect = perm >= thr
+    # unpack the (..., Iw) uint8 bitmask cache to (..., I) bool
+    I = perm.shape[-1]
+    got = (
+        (conn[..., :, None] >> np.arange(8, dtype=np.uint8)) & 1
+    ).reshape(*conn.shape[:-1], -1)[..., :I].astype(bool)
+    if not (got == expect).all():
         raise StateInvariantError("SP connected cache inconsistent")
     duty = np.asarray(state.sp.duty_cycle)
     if not ((duty >= 0.0) & (duty <= 1.0)).all():

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 from bithtm_tpu import SPConfig, sp_init, sp_step
+from bithtm_tpu.ops.overlap import unpack_connected
 
 
 @pytest.fixture
@@ -58,11 +59,13 @@ def test_sp_matches_numpy_trajectory(cfg):
         np.testing.assert_allclose(
             np.asarray(state.duty_cycle), duty, atol=1e-5
         )
-        # cached connection matrix stays consistent with permanences
+        # cached (packed) connection matrix stays consistent with
+        # permanences
         np.testing.assert_array_equal(
-            np.asarray(state.connected),
-            (np.asarray(state.permanence) >= cfg.permanence_threshold)
-            .astype(np.int8),
+            np.asarray(
+                unpack_connected(state.connected, cfg.input_dim)
+            ),
+            np.asarray(state.permanence) >= cfg.permanence_threshold,
         )
 
 

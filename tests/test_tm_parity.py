@@ -181,8 +181,9 @@ def test_parity_fuzz_random_configs():
 
 
 def test_select_and_fill_methods_agree():
-    """The pairwise-rank and top_k growth-selection paths are
-    interchangeable: same chosen candidates, same slot fills."""
+    """The sortfill and pairwise growth-selection paths choose the
+    identical candidate set into the identical free slots (placement
+    order within the slots differs by design — a segment is a set)."""
     from bithtm_tpu.models.temporal_memory import _select_and_fill
 
     rng = np.random.RandomState(42)
@@ -198,7 +199,7 @@ def test_select_and_fill_methods_agree():
         cand_cell = rng.randint(0, 1000, size=Wc).astype(np.int32)
         free = rng.rand(L, K) < 0.5
         outs = {}
-        for method in ("pairwise", "topk"):
+        for method in ("pairwise", "sortfill"):
             gathered, wrote, n_chosen = jax.device_get(
                 _select_and_fill(
                     jnp.asarray(pri), jnp.asarray(n_grow),
@@ -206,9 +207,26 @@ def test_select_and_fill_methods_agree():
                     samp, method,
                 )
             )
-            outs[method] = (np.where(wrote, gathered, -1), wrote, n_chosen)
-        for a, b in zip(outs["pairwise"], outs["topk"]):
-            np.testing.assert_array_equal(a, b)
+            outs[method] = (gathered, wrote, n_chosen)
+        (g1, w1, n1), (g2, w2, n2) = outs["pairwise"], outs["sortfill"]
+        np.testing.assert_array_equal(w1, w2)
+        np.testing.assert_array_equal(n1, n2)
+        for l in range(L):
+            # the exact chosen set: the n smallest finite priorities
+            order = np.argsort(pri[l], kind="stable")
+            n = min(int(n_grow[l]), int(np.isfinite(pri[l]).sum()))
+            chosen = cand_cell[order[:n]]
+            got1, got2 = np.sort(g1[l][w1[l]]), np.sort(g2[l][w2[l]])
+            if n <= int(free[l].sum()):  # no overflow: full set written
+                np.testing.assert_array_equal(got1, np.sort(chosen))
+                np.testing.assert_array_equal(got2, np.sort(chosen))
+            else:  # overflow: each writes SOME subset of the chosen set
+                from collections import Counter
+
+                for got in (got1, got2):
+                    assert not Counter(got.tolist()) - Counter(
+                        chosen.tolist()
+                    )
 
 
 def test_parity_wide_active_set_no_truncation():
