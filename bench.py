@@ -26,7 +26,7 @@ BASELINE_STEPS_PER_SEC = 48.0  # reference NumPy, warm, single stream
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", 256)))
-    p.add_argument("--steps", type=int, default=int(os.environ.get("BENCH_STEPS", 64)))
+    p.add_argument("--steps", type=int, default=int(os.environ.get("BENCH_STEPS", 192)))
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--input_dim", type=int, default=1000)
     p.add_argument("--column_dim", type=int, default=2048)
@@ -37,6 +37,17 @@ def main():
                    help="htm: full pipeline (the headline metric); "
                         "sp: SpatialPooler only (BASELINE configs[1]); "
                         "tm: TemporalMemory learning only (configs[2])")
+    p.add_argument("--stack", choices=("fast", "reference"), default="fast",
+                   help="fast (default): the validated throughput stack — "
+                        "G=4 segment slots/column, K=64 synapse slots, "
+                        "int16 SP permanences. Bit-exact against the BAMI "
+                        "oracle on the TPU path (example.py --oracle); "
+                        "2000-step soak on the reference workload converges "
+                        "to 0.16 bursting / 40.8 of 41 correct with ~1% "
+                        "benign segment-cap drops (scripts/soak_fast_stack"
+                        ".py, docs/PERFORMANCE.md). reference: the "
+                        "reference's G=8/K=48 head-room pool with f32 SP "
+                        "permanences.")
     p.add_argument("--inference", action="store_true",
                    help="serve with learning=False (frozen graph): the "
                         "anomaly-scoring / prediction deployment path")
@@ -53,11 +64,18 @@ def main():
     from bithtm_tpu import htm_init_batch, htm_scan, make_htm_config
 
     print(f"# devices: {jax.devices()}", file=sys.stderr)
+    stack_overrides = (
+        dict(segments_per_column=4, synapse_capacity=64,
+             sp_overrides={"permanence_dtype": "int16"})
+        if args.stack == "fast" else {}
+    )
     cfg = make_htm_config(
         input_dim=args.input_dim,
         column_dim=args.column_dim,
         cell_dim=args.cell_dim,
+        **stack_overrides,
     )
+    print(f"# stack: {args.stack}", file=sys.stderr)
     B, T = args.batch, args.steps
 
     rng = np.random.RandomState(0)

@@ -345,7 +345,8 @@ def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
 
     # Synapse activity wrt the previous step's active cells: cached by
     # the previous forward pass (the table is unchanged since), so the
-    # learning phase needs no activation pass of its own.
+    # learning phase needs no activation pass of its own. bf16 0/1 (the
+    # table kernel's MXU-operand output dtype); nonzero == active.
     act_prev = state.synapse_act                                # (C, J)
 
     # --- learning-segment set in active-column row space
@@ -355,7 +356,7 @@ def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
     segcell_rows = state.seg_cell[active_cols]
     syn_rows = syn_flat[active_cols].reshape(-1, G, K)          # (A, G, K)
     perm_rows = perm_flat[active_cols].reshape(-1, G, K)
-    act_prev_rows = act_prev[active_cols].reshape(-1, G, K)
+    act_prev_rows = act_prev[active_cols].reshape(-1, G, K) != 0
 
     owner_pred = take_percell(pred_rows, segcell_rows, D, False)
     owner_winner = take_percell(winner_rows, segcell_rows, D, False)
@@ -516,10 +517,13 @@ def tm_step(
         perm_full = state.synapse_perm
         seg_cell = state.seg_cell
         learn_metrics = {}
-        act_now = synapse_activation(syn_full, active_cols, act_bits, D)
+        act_b = synapse_activation(syn_full, active_cols, act_bits, D)
+        act_now = act_b.astype(jnp.bfloat16)
         potential = seg_reduce_counts(act_now, G, K)           # (C, G)
         connected = seg_reduce_counts(
-            act_now & (perm_full >= cfg.permanence_threshold), G, K
+            (act_b & (perm_full >= cfg.permanence_threshold)).astype(
+                jnp.bfloat16
+            ), G, K,
         )
         matching = potential >= cfg.segment_matching_threshold
         seg_active = matching & (

@@ -179,20 +179,27 @@ def table_update_xla(syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
     decrement + synapse death + active-set compare + per-segment counts
     + matching/active flags + per-cell prediction.
 
-    Returns (syn', perm', act_now, potential, matching, seg_active,
+    ``act_prev`` and the returned activity/connected-activity are bf16
+    0/1 masks (the MXU-native operand dtype of the count dots — see
+    `_table_kernel`); counts are exact (values <= K < 256 are
+    representable in bf16, accumulation is f32).
+
+    Returns (syn', perm', act_now bf16, potential, matching, seg_active,
     prediction)."""
     G = seg_cell.shape[1]
     K = syn_cell.shape[1] // G
     live = syn_cell >= 0
-    pen = (pun_flat != 0) & act_prev & live
+    pen = (pun_flat != 0) & (act_prev != 0) & live
     perm = syn_perm - jnp.where(pen, jnp.float32(punishment),
                                 jnp.float32(0.0))
     dead = live & (perm < 0.0)
     syn = jnp.where(dead, -1, syn_cell)
     perm = jnp.where(dead, -1.0, perm)
-    act = synapse_activation_xla(syn, cols, bits, cell_dim)
+    act_b = synapse_activation_xla(syn, cols, bits, cell_dim)
+    act = act_b.astype(jnp.bfloat16)
+    conn = (act_b & (perm >= perm_threshold)).astype(jnp.bfloat16)
     potential = seg_reduce_counts(act, G, K)
-    connected = seg_reduce_counts(act & (perm >= perm_threshold), G, K)
+    connected = seg_reduce_counts(conn, G, K)
     matching = potential >= matching_threshold
     seg_active = matching & (connected >= activation_threshold)
     prediction = percell_max(seg_cell, seg_active, cell_dim, False)
@@ -206,26 +213,27 @@ def table_update(syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
     """Dispatch the fused full-table TM pass to the Pallas kernel on
     TPU, XLA elsewhere. Identical results."""
     if jax.default_backend() == "tpu":
-        # 7 table-sized tiles live at once (4 in, 3 out) before
+        # 8 table-sized tiles live at once (4 in, 4 out) before
         # pipelining, so budget per-tile bytes accordingly
         block = _pallas_block(syn_cell.shape[0], 12 * syn_cell.shape[1])
         if block:
             from .pallas_kernels import table_update_tpu
 
-            # The kernel fuses punish + death + activation (the HBM-
-            # bound part); the small per-segment counts and prediction
-            # are faster as XLA dots/one-hots outside (in-kernel
-            # reductions over the G axis measured slower).
+            # The kernel fuses punish + death + activation + connected
+            # (the HBM-bound part) and emits bf16 0/1 activity masks —
+            # the MXU operand dtype of the count dots, so no table-sized
+            # convert pass runs between the kernel and the dots. The
+            # small per-segment counts and prediction are faster as XLA
+            # dots/one-hots outside (in-kernel reductions over the G
+            # axis measured slower).
             G = seg_cell.shape[1]
             K = syn_cell.shape[1] // G
-            syn, perm, act = table_update_tpu(
+            syn, perm, act, conn = table_update_tpu(
                 syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
-                cell_dim, punishment, block=block,
+                cell_dim, punishment, perm_threshold, block=block,
             )
             potential = seg_reduce_counts(act, G, K)
-            connected = seg_reduce_counts(
-                act & (perm >= perm_threshold), G, K
-            )
+            connected = seg_reduce_counts(conn, G, K)
             matching = potential >= matching_threshold
             seg_active = matching & (connected >= activation_threshold)
             prediction = percell_max(seg_cell, seg_active, cell_dim, False)
@@ -253,10 +261,19 @@ def _seg_matrix(num_segments: int, synapses: int) -> jnp.ndarray:
 
 def seg_reduce_counts(flat_mask: jnp.ndarray, num_segments: int,
                       synapses: int) -> jnp.ndarray:
-    """(C, G*K) bool -> (C, G) int32 per-segment counts via an int8 MXU
-    matmul against a constant block matrix (exact integer counts; int8
-    operands halve the materialized operand bytes vs bf16)."""
+    """(C, G*K) 0/1 mask (bool or bf16) -> (C, G) int32 per-segment
+    counts via an MXU matmul against a constant block matrix. bf16
+    inputs (straight from the table kernel) take a bf16 x bf16 -> f32
+    dot — exact, since counts <= K < 256 and accumulation is f32 —
+    with no table-sized convert pass; other dtypes take the int8 path."""
     m = _seg_matrix(num_segments, synapses)
+    if flat_mask.dtype == jnp.bfloat16:
+        out = jax.lax.dot_general(
+            flat_mask, m.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(jnp.int32)
     return jax.lax.dot_general(
         flat_mask.astype(jnp.int8), m,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -266,7 +283,13 @@ def seg_reduce_counts(flat_mask: jnp.ndarray, num_segments: int,
 
 def seg_broadcast(per_segment: jnp.ndarray, num_segments: int,
                   synapses: int) -> jnp.ndarray:
-    """(C, G) bool/0-1 -> (C, G*K) int8 0/1 mask via int8 MXU matmul."""
+    """(C, G) bool/0-1 -> (C, G*K) int8 0/1 mask via int8 MXU matmul.
+
+    (A bf16-output dot feeding the table kernel as a bf16 operand was
+    probed: the kernel-side ``!= 0`` on a *second* bf16 input trips a
+    Mosaic i1-relayout bug — "Non-singleton logical dimension is
+    replicated in destination but not in source" — so the punishment
+    mask stays int8 -> bool at the kernel boundary.)"""
     m = _seg_matrix(num_segments, synapses)
     out = jax.lax.dot_general(
         per_segment.astype(jnp.int8), m.T,

@@ -28,27 +28,32 @@ def input_words(input_dim: int) -> int:
 
 
 def pack_input(bits: jnp.ndarray) -> jnp.ndarray:
-    """(..., I) bool -> (..., ceil(I/8)) uint8 (bit i of word i//8).
+    """(..., I) bool -> (..., S = ceil(I/8)) uint8, **strided mapping**:
+    bit j of word w holds input ``i = j*S + w``.
 
-    Fast path (I divisible by 8): pure reshape + 8-wide reduce, fusible
-    into the producer of ``bits``. Otherwise pads the minor axis first.
+    The strided (sublane) layout keeps the word axis co-located with the
+    lane axis: the pack is a reshape to (..., 8, S) + a shift-weighted
+    reduce over the *second-minor* axis — the natural TPU reduction —
+    instead of regrouping lanes 8-at-a-time. Which input lands in which
+    bit is private to this module (pack/unpack/overlap agree; the
+    overlap's AND+popcount is mapping-agnostic).
     """
     I = bits.shape[-1]
-    Iw = input_words(I)
-    pad = Iw * 8 - I
+    S = input_words(I)
+    pad = S * 8 - I
     if pad:
         bits = jnp.concatenate(
             [bits, jnp.zeros((*bits.shape[:-1], pad), bits.dtype)], axis=-1
         )
-    m = bits.reshape(*bits.shape[:-1], Iw, 8).astype(jnp.uint8)
+    m = bits.reshape(*bits.shape[:-1], 8, S).astype(jnp.uint8)
     weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
-    return (m * weights).sum(axis=-1, dtype=jnp.uint8)
+    return (m * weights[:, None]).sum(axis=-2, dtype=jnp.uint8)
 
 
 def unpack_connected(words: jnp.ndarray, input_dim: int) -> jnp.ndarray:
-    """(..., Iw) uint8 -> (..., I) bool (inverse of `pack_input`)."""
+    """(..., S) uint8 -> (..., I) bool (inverse of `pack_input`)."""
     shifts = jnp.arange(8, dtype=jnp.uint8)
-    expanded = (words[..., None] >> shifts) & jnp.uint8(1)
+    expanded = (words[..., None, :] >> shifts[:, None]) & jnp.uint8(1)
     flat = expanded.reshape(*words.shape[:-1], words.shape[-1] * 8)
     return flat[..., :input_dim].astype(jnp.bool_)
 

@@ -49,17 +49,26 @@ def _act_kernel(cols_ref, bits_ref, syn_ref, act_ref, *, cell_dim: int,
 
 
 def _table_kernel(cols_ref, bits_ref, syn_ref, perm_ref, actprev_ref,
-                  pun_ref, syn_out, perm_out, act_out, *, cell_dim: int,
-                  num_active: int, words: int, punishment: float):
+                  pun_ref, syn_out, perm_out, act_out, conn_out, *,
+                  cell_dim: int, num_active: int, words: int,
+                  punishment: float, perm_threshold: float):
     """Fused per-tile: punishment decrement + synapse death + active-set
-    compare — one HBM read and one write of the synapse tables per step
-    instead of separate punish and activation passes. (Per-segment
-    counts and prediction stay outside: in-kernel G-axis reductions
-    measured slower than XLA's int8 dots.)"""
+    compare + connected-compare — one HBM read and one write of the
+    synapse tables per step instead of separate punish and activation
+    passes. Activity and connected-activity are emitted as **bf16 0/1**:
+    they are consumed only as MXU operands of the per-segment count
+    dots, and emitting the MXU-native dtype here deletes ~2.5 ms/step of
+    table-sized pred->s32 convert + re-compare passes XLA otherwise
+    materializes between the kernel and the dots (measured, B=256).
+    (The counts and prediction stay outside: in-kernel G-axis reductions
+    measured slower than XLA's dots.)"""
     syn = syn_ref[:]
     perm = perm_ref[:]
     live = syn >= 0
-    pen = pun_ref[:] & actprev_ref[:] & live
+    # pun arrives as bool; act_prev as bf16 0/1. One bf16 `!= 0` is
+    # fine, but a second bf16 operand compared `!= 0` here trips a
+    # Mosaic i1-relayout bug — keep pun boolean at the kernel boundary.
+    pen = pun_ref[:] & (actprev_ref[:] != 0) & live
     perm = perm - jnp.where(pen, jnp.float32(punishment), jnp.float32(0.0))
     dead = live & (perm < 0.0)
     syn = jnp.where(dead, -1, syn)
@@ -81,25 +90,29 @@ def _table_kernel(cols_ref, bits_ref, syn_ref, perm_ref, actprev_ref,
             for w in range(words):
                 word = jnp.where(hit & (w_idx == w), bits_ref[a, w], word)
             matched |= word
+    act = ((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)
     syn_out[:] = syn
     perm_out[:] = perm
-    act_out[:] = ((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)
+    act_out[:] = act.astype(jnp.bfloat16)
+    conn_out[:] = (act & (perm >= perm_threshold)).astype(jnp.bfloat16)
 
 
 def table_update_tpu(
     syn_cell,                # (C, J) int32
     syn_perm,                # (C, J) float32
-    act_prev,                # (C, J) bool
+    act_prev,                # (C, J) bf16 0/1
     pun_flat,                # (C, J) bool/int8 punished-segment mask
     cols,                    # (A,) int32
     bits,                    # (A, W) uint32
     cell_dim: int,
     punishment: float,
+    perm_threshold: float,
     block: int = 128,
     interpret: bool = False,
 ):
-    """Returns (syn', perm', act_now) — the fused punish/death/activation
-    table pass, updating the tables in place."""
+    """Returns (syn', perm', act_now bf16, conn_now bf16) — the fused
+    punish/death/activation/connected table pass, updating the synapse
+    tables in place."""
     C, J = syn_cell.shape
     A, W = bits.shape
     block = min(block, C)
@@ -107,7 +120,7 @@ def table_update_tpu(
 
     kernel = functools.partial(
         _table_kernel, cell_dim=cell_dim, num_active=A, words=W,
-        punishment=punishment,
+        punishment=punishment, perm_threshold=perm_threshold,
     )
     tile = lambda i: (i, 0)
     big = lambda: pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM)
@@ -116,7 +129,8 @@ def table_update_tpu(
         out_shape=(
             jax.ShapeDtypeStruct((C, J), jnp.int32),
             jax.ShapeDtypeStruct((C, J), jnp.float32),
-            jax.ShapeDtypeStruct((C, J), jnp.bool_),
+            jax.ShapeDtypeStruct((C, J), jnp.bfloat16),
+            jax.ShapeDtypeStruct((C, J), jnp.bfloat16),
         ),
         grid=(C // block,),
         in_specs=[
@@ -126,13 +140,13 @@ def table_update_tpu(
                          memory_space=pltpu.SMEM),
             big(), big(), big(), big(),
         ],
-        out_specs=(big(), big(), big()),
+        out_specs=(big(), big(), big(), big()),
         # update the synapse tables in place (operands 2, 3 -> outputs
         # 0, 1): saves XLA the defensive operand copies
         input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
     )(cols.reshape(1, A), bits, syn_cell, syn_perm,
-      act_prev.astype(jnp.bool_), pun_flat.astype(jnp.bool_))
+      act_prev.astype(jnp.bfloat16), pun_flat.astype(jnp.bool_))
 
 
 def synapse_activation_tpu(

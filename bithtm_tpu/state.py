@@ -60,12 +60,14 @@ class TMState(struct.PyTreeNode):
       active_cols: (A,) int32     previous step's active columns
       active_bits: (A, W) uint32  previous active cells (compact bitmask)
       winner_bits: (A, W) uint32  previous winner cells (subset of active)
-      synapse_act: (C, G*K) bool  per-synapse-slot activity wrt the
-        previous step's active set, computed by the forward pass on the
-        post-step table. The table does not change between one step's
-        forward pass and the next step's learning phase, so this is
-        exactly the `act_prev` the learning phase needs — caching it
+      synapse_act: (C, G*K) bfloat16 0/1  per-synapse-slot activity wrt
+        the previous step's active set, computed by the forward pass on
+        the post-step table. The table does not change between one
+        step's forward pass and the next step's learning phase, so this
+        is exactly the `act_prev` the learning phase needs — caching it
         halves the number of full-table activation passes per step.
+        bf16 (not bool) because it doubles as an MXU operand of the
+        per-segment count dots (see `ops/pallas_kernels._table_kernel`).
       prediction:  (C, D) bool    cell predictive state for next step
       segment_potential: (C, G) int32  potential-synapse counts
       segment_matching:  (C, G) bool   potential >= matching_threshold
@@ -135,7 +137,7 @@ def tm_init(cfg: TMConfig) -> TMState:
         active_cols=jnp.zeros((A,), jnp.int32),
         active_bits=jnp.zeros((A, W), jnp.uint32),
         winner_bits=jnp.zeros((A, W), jnp.uint32),
-        synapse_act=jnp.zeros((C, G * K), jnp.bool_),
+        synapse_act=jnp.zeros((C, G * K), jnp.bfloat16),
         prediction=jnp.zeros((C, D), jnp.bool_),
         segment_potential=jnp.zeros((C, G), jnp.int32),
         segment_matching=jnp.zeros((C, G), jnp.bool_),

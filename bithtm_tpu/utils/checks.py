@@ -52,7 +52,7 @@ def validate_tm_state(cfg, tm) -> None:
             fail(f"duplicate synapse targets in segment ({c},{g})")
     # cached forward state consistent with the tables
     pot = np.asarray(tm.segment_potential)
-    act = np.asarray(tm.synapse_act).reshape(C, G, K)
+    act = (np.asarray(tm.synapse_act) != 0).reshape(C, G, K)
     if not (act.sum(-1) == pot).all():
         fail("segment_potential inconsistent with cached synapse_act")
     match = np.asarray(tm.segment_matching)
@@ -76,11 +76,11 @@ def validate_state(cfg, state) -> None:
     thr = (cfg.sp.to_units(cfg.sp.permanence_threshold)
            if cfg.sp.quantized else cfg.sp.permanence_threshold)
     expect = perm >= thr
-    # unpack the (..., Iw) uint8 bitmask cache to (..., I) bool
-    I = perm.shape[-1]
-    got = (
-        (conn[..., :, None] >> np.arange(8, dtype=np.uint8)) & 1
-    ).reshape(*conn.shape[:-1], -1)[..., :I].astype(bool)
+    # unpack the (..., S) uint8 bitmask cache to (..., I) bool with the
+    # pack's own (strided) bit mapping
+    from ..ops.overlap import unpack_connected
+
+    got = np.asarray(unpack_connected(conn, perm.shape[-1]))
     if not (got == expect).all():
         raise StateInvariantError("SP connected cache inconsistent")
     duty = np.asarray(state.sp.duty_cycle)

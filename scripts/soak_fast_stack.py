@@ -1,0 +1,41 @@
+"""2000-step x 256-stream convergence soak of the bench fast stack
+(G=4/K=64 + int16 SP) on the reference's 100-pattern workload.
+
+Healthy result: bursting -> ~0, correct -> ~41/41 by the end, zero (or
+counted-benign) drop counters, pool occupancy well under C*G.
+Run on the real TPU: python scripts/soak_fast_stack.py
+"""
+import os, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax, jax.numpy as jnp
+from bithtm_tpu import htm_init_batch, htm_scan, make_htm_config
+
+cfg = make_htm_config(input_dim=1000, column_dim=2048, cell_dim=32,
+                      segments_per_column=4, synapse_capacity=64,
+                      sp_overrides={"permanence_dtype": "int16"})
+B, T, P = 256, 200, 100
+rng = np.random.RandomState(7)
+patterns = rng.rand(P, 1000) < 0.2
+state = htm_init_batch(jax.random.key(0), cfg, B)
+drop_tot = {}
+for chunk in range(10):  # 2000 steps total
+    t0 = time.time()
+    idx = (np.arange(T) + chunk * T) % P
+    noise = rng.rand(T, B, 1000) < 0.05
+    seq = jnp.asarray(patterns[idx][:, None, :] ^ noise)
+    t1 = time.time()
+    state, m = htm_scan(cfg, state, seq, True)
+    host = jax.device_get({k: m[k][-1] for k in
+        ("bursting", "correct", "incorrect")})
+    for k in m:
+        if "dropped" in k:
+            drop_tot[k] = drop_tot.get(k, 0) + int(jax.device_get(m[k].sum()))
+    print(f"step {(chunk+1)*T}: bursting={np.mean(host['bursting']):.2f} "
+          f"correct={np.mean(host['correct']):.1f} "
+          f"incorrect={np.mean(host['incorrect']):.1f} "
+          f"(gen {t1-t0:.1f}s run {time.time()-t1:.1f}s)", flush=True)
+print("total drops over 2000 steps x 256 streams:", drop_tot, flush=True)
+occ = jax.device_get(m["tm_pool_occupancy"][-1])
+print(f"pool occupancy: mean {np.mean(occ):.0f} / {2048*4}", flush=True)

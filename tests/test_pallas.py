@@ -62,10 +62,14 @@ def test_table_update_kernel_matches_xla():
         )
         got = table_update_tpu(
             jnp.asarray(syn), jnp.asarray(perm), jnp.asarray(act_prev),
-            jnp.asarray(pun), jnp.asarray(cols), bits, D, 0.03,
+            jnp.asarray(pun), jnp.asarray(cols), bits, D, 0.03, 0.05,
             block=8, interpret=True,
         )
-        # kernel covers the fused punish/death/activation part (the
-        # counts/prediction tail runs as shared XLA on both paths)
-        for r, g in zip(ref[:3], got):
+        # kernel covers the fused punish/death/activation/connected part
+        # (the counts/prediction tail runs as shared XLA on both paths)
+        for r, g in zip(ref[:3], got[:3]):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+        conn_ref = (np.asarray(ref[2]) != 0) & (np.asarray(ref[1]) >= 0.05)
+        np.testing.assert_array_equal(
+            np.asarray(got[3]) != 0, conn_ref
+        )

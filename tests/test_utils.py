@@ -98,7 +98,7 @@ def test_invariant_checker_catches_corruption():
 
     # stale cached activity
     bad_act = np.array(host.tm.synapse_act)
-    bad_act[c, j] = ~bad_act[c, j]
+    bad_act[c, j] = 1 - bad_act[c, j]  # flip the 0/1 bf16 mask entry
     with pytest.raises(StateInvariantError):
         validate_state(cfg, host.replace(
             tm=host.tm.replace(synapse_act=bad_act)))
