@@ -17,7 +17,15 @@ Fault tolerance (SURVEY.md §5): the whole model is one pytree, so
 elastic recovery is checkpoint/restore (`utils.checkpoint`) — on any
 worker failure, restart the job and resume from the last step's
 checkpoint; there is no optimizer or data-loader state beyond the
-pytree and the step counter inside it.
+pytree and the step counter inside it. Each process saves its OWN
+batch shard with `checkpoint.save(..., backend="npz")` (orbax's
+multihost commit protocol is wrong for independent per-process trees)
+and a restarted job reassembles the global state with
+`make_global_array`. The full drill — run, checkpoint, SIGKILL both
+workers mid-step, restore into fresh processes + a fresh mesh,
+continue bit-identically to an uninterrupted single-process run — is
+exercised by `tests/test_multiprocess.py::
+test_elastic_recovery_restart_resumes_bitexact`.
 """
 
 from __future__ import annotations

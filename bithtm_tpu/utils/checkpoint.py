@@ -59,19 +59,31 @@ def _flatten_with_paths(tree):
     return items, treedef
 
 
-def save(path: str, state) -> None:
+def save(path: str, state, backend: str | None = None) -> None:
     """Save a state pytree. `path` is a directory (orbax) or created as
-    one containing state.npz (fallback)."""
-    raw = jax.device_get(_unkey(state))
-    try:
-        import orbax.checkpoint as ocp
+    one containing state.npz (fallback).
 
-        ckpt = ocp.PyTreeCheckpointer()
-        ckpt.save(os.path.abspath(os.path.join(path, "state")), raw,
-                  force=True)
-        return
-    except Exception:
-        pass
+    ``backend``: None auto-selects (orbax if importable, else npz);
+    ``"npz"`` forces the plain-file writer — use this for PER-PROCESS
+    local-shard checkpoints in a `jax.distributed` job: orbax
+    coordinates commits across all hosts (primary-host metadata +
+    barriers), which is wrong when every process saves its own
+    independent tree to its own path.
+    """
+    raw = jax.device_get(_unkey(state))
+    if backend not in (None, "npz", "orbax"):
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
+    if backend != "npz":
+        try:
+            import orbax.checkpoint as ocp
+
+            ckpt = ocp.PyTreeCheckpointer()
+            ckpt.save(os.path.abspath(os.path.join(path, "state")), raw,
+                      force=True)
+            return
+        except Exception:
+            if backend == "orbax":
+                raise
     os.makedirs(path, exist_ok=True)
     items, _ = _flatten_with_paths(raw)
     np.savez_compressed(os.path.join(path, "state.npz"), **items)
@@ -92,7 +104,14 @@ def restore(path: str, like):
     if os.path.exists(npz_path):
         data = np.load(npz_path)
         items, treedef = _flatten_with_paths(raw_like)
-        leaves = [data[k] for k in items.keys()]
+        leaves = []
+        for k, ref in items.items():
+            arr = data[k]
+            if arr.dtype.kind == "V":
+                # extension dtypes (e.g. ml_dtypes bfloat16) round-trip
+                # through npz as raw void bytes — view them back
+                arr = arr.view(ref.dtype)
+            leaves.append(arr)
         raw = jax.tree_util.tree_unflatten(treedef, leaves)
         return _rekey(raw, like)
     raise FileNotFoundError(f"no checkpoint at {path}")

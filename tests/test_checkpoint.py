@@ -48,3 +48,30 @@ def test_roundtrip_resume_bitexact(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(ma["bursting"]), np.asarray(mb["bursting"])
     )
+
+
+def test_npz_backend_roundtrip_bitexact(tmp_path):
+    """The forced-npz writer (used for per-process shard checkpoints in
+    jax.distributed jobs) round-trips every dtype bit-exactly —
+    including extension dtypes like the bf16 synapse-activity cache,
+    which npz stores as raw void bytes."""
+    cfg = small_cfg()
+    rng = np.random.RandomState(3)
+    seq = jnp.asarray(rng.rand(8, cfg.input_dim) < 0.2)
+    state = htm_init(jax.random.key(2), cfg)
+    state, _ = htm_scan(cfg, state, seq, True)
+
+    path = str(tmp_path / "npz_ckpt")
+    save(path, state, backend="npz")
+    import os
+
+    assert os.path.exists(os.path.join(path, "state.npz"))
+    restored = restore(path, htm_init(jax.random.key(9), cfg))
+    assert restored.tm.synapse_act.dtype == state.tm.synapse_act.dtype
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        jax.device_get(state.tm),
+        jax.device_get(restored.tm),
+    )
