@@ -112,6 +112,21 @@ class TMConfig:
     segment_matching_threshold: int = 15
     segment_sampling_synapses: int = 32
 
+    # What happens when a winner cell needs a new segment but its
+    # column's G slots are all mature (live synapses >= matching
+    # threshold, so not recyclable under the reference's `add_output`
+    # rule, `projections.py:80`):
+    #   "reference" (default) — drop the allocation and count it
+    #     (`tm_dropped_new_segments`), mirroring recycle-or-grow minus
+    #     the grow (static shapes cannot grow). A column saturated with
+    #     old contexts can then never host a new one.
+    #   "evict" — additionally evict the weakest non-matching mature
+    #     slot (fewest live synapses, ties by ascending slot), the
+    #     static-shape analogue of the reference's unbounded growth for
+    #     continual-learning workloads. Counted in
+    #     `tm_evicted_segments`. See tests/test_pool_pressure.py.
+    allocation_policy: str = "reference"
+
     epsilon: float = 1e-8
 
     @property

@@ -139,7 +139,7 @@ def _winner_selection(cfg: TMConfig, state: TMState, key: jax.Array,
     return col_burst, winner_rows, cell_max_j, seg_j
 
 
-def _allocate(cfg: TMConfig, segcell_rows, syn_rows, unacc):
+def _allocate(cfg: TMConfig, segcell_rows, syn_rows, match_rows, unacc):
     """Per-column segment allocation for unaccounted winner cells
     (`projections.py:271-281` + `add_output` recycling,
     `projections.py:79-95`), deterministic rank pairing:
@@ -148,16 +148,32 @@ def _allocate(cfg: TMConfig, segcell_rows, syn_rows, unacc):
     `edges_threshold`, `projections.py:80`) are ordered allocated-
     recyclable-first then unallocated, ascending slot index; unaccounted
     cells ascending cell index; the i-th cell takes the i-th slot.
-    Overflow (more cells than eligible slots in a column) is dropped.
+    Overflow (more cells than eligible slots in a column) is dropped —
+    unless ``cfg.allocation_policy == "evict"``, in which case mature
+    non-matching slots become a third eligibility tier ordered by
+    (ascending live-synapse count, ascending slot), so overflow evicts
+    the weakest stale context instead (see TMConfig.allocation_policy).
 
-    Returns (new_seg (A,G) bool, new_owner (A,G) cell, n_dropped).
+    Returns (new_seg (A,G) bool, new_owner (A,G) cell, n_dropped,
+    n_evicted).
     """
     A, D, G = cfg.active_columns, cfg.cell_dim, cfg.segments_per_column
     syn_count = (syn_rows >= 0).sum(axis=-1, dtype=jnp.int32)   # (A, G)
-    eligible = syn_count < cfg.segment_matching_threshold
+    recyclable = syn_count < cfg.segment_matching_threshold
     unallocated = segcell_rows >= D
     g = jnp.arange(G, dtype=jnp.int32)
     key = g + G * unallocated.astype(jnp.int32)                  # (A, G)
+    if cfg.allocation_policy == "evict":
+        evictable = ~match_rows & ~recyclable
+        key = jnp.where(recyclable, key, 2 * G + syn_count * G + g)
+        eligible = recyclable | evictable
+    elif cfg.allocation_policy == "reference":
+        evictable = jnp.zeros_like(recyclable)
+        eligible = recyclable
+    else:
+        raise ValueError(
+            f"unknown allocation_policy {cfg.allocation_policy!r}"
+        )
     # rank among eligible slots by ascending key (keys are distinct)
     elig_rank = jnp.where(
         eligible,
@@ -176,7 +192,8 @@ def _allocate(cfg: TMConfig, segcell_rows, syn_rows, unacc):
         assign * jnp.arange(D, dtype=jnp.int32), axis=-1, dtype=jnp.int32
     )
     n_dropped = unacc.sum(dtype=jnp.int32) - assign.sum(dtype=jnp.int32)
-    return new_seg, new_owner, n_dropped
+    n_evicted = (new_seg & evictable).sum(dtype=jnp.int32)
+    return new_seg, new_owner, n_dropped, n_evicted
 
 
 def _select_and_fill(pri, n_grow, cand_cell, free, samp, method):
@@ -371,8 +388,8 @@ def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
 
     # --- segment allocation for unaccounted winners (recycle-first)
     unacc = winner_rows & (cell_max_j < cfg.epsilon) & has_prev  # (A, D)
-    new_seg, new_owner, n_dropped = _allocate(
-        cfg, segcell_rows, syn_rows, unacc
+    new_seg, new_owner, n_dropped, n_evicted = _allocate(
+        cfg, segcell_rows, syn_rows, match_rows, unacc
     )
     segcell_rows = jnp.where(new_seg, new_owner, segcell_rows)
     syn_rows = jnp.where(new_seg[:, :, None], -1, syn_rows)
@@ -421,6 +438,7 @@ def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
         "tm_learning_segments": learn_rows.sum(dtype=jnp.int32),
         # capacity-overflow counters (reference reallocates instead):
         "tm_dropped_new_segments": n_dropped,
+        "tm_evicted_segments": n_evicted,
         "tm_dropped_synapses": overflow,
         "tm_dropped_winner_candidates": winners_dropped,
         "tm_dropped_growth_segments": growth_dropped,

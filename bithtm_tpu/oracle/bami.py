@@ -276,11 +276,24 @@ class OracleTM:
         expected_assign = set()
         for c in sorted({cell // self.D for cell in unaccounted}):
             cells = [cell for cell in unaccounted if cell // self.D == c]
-            slots = [
+            recyclable = [
                 s for s in range(c * self.G, (c + 1) * self.G)
                 if len(self.synapses[s]) < cfg.segment_matching_threshold
             ]
-            slots.sort(key=lambda s: s + self.S * (self.owner[s] is None))
+            recyclable.sort(
+                key=lambda s: s + self.S * (self.owner[s] is None)
+            )
+            slots = recyclable
+            if getattr(cfg, "allocation_policy", "reference") == "evict":
+                # third tier: mature non-matching slots, weakest first
+                # (ascending live-synapse count, ascending slot) —
+                # mirrors `_allocate`'s evict keys exactly
+                evictable = [
+                    s for s in range(c * self.G, (c + 1) * self.G)
+                    if s not in set(recyclable) and s not in self.matching
+                ]
+                evictable.sort(key=lambda s: (len(self.synapses[s]), s))
+                slots = recyclable + evictable
             expected_assign.update(zip(slots, cells))
         got = set(decisions.new_segments)
         if got != expected_assign:

@@ -172,7 +172,10 @@ def main():
                 )
             state, metrics = htm_scan(cfg, state, jnp.asarray(seq), True)
             if logger is not None:
-                logger.write(jax.device_get(metrics), epoch=epoch)
+                host_m = jax.device_get(metrics)
+                logger.write(host_m, epoch=epoch)
+                logger.write_capacity(host_m, scan=True, epoch=epoch,
+                                      pool_slots=cfg.tm.segment_capacity)
             if not args.quiet:
                 m = {k: np.asarray(v).sum(axis=-1) if batched else
                      np.asarray(v) for k, v in metrics.items()}
@@ -182,6 +185,7 @@ def main():
                     f"incorrect {np.sum(m['incorrect'])}"
                 )
         else:
+            epoch_caps = {}  # summed drop/eviction counters this epoch
             for i, pattern in enumerate(inputs):
                 noisy = pattern ^ (
                     rng.rand(args.input_dim) < args.input_noise_probability
@@ -192,7 +196,15 @@ def main():
                 )
                 state, out = step(state, x, True)
                 if logger is not None:
-                    logger.write(jax.device_get(out.metrics), epoch=epoch)
+                    host_m = jax.device_get(out.metrics)
+                    logger.write(host_m, epoch=epoch)
+                    for k, v in host_m.items():
+                        if k.startswith("tm_dropped_") or \
+                                k == "tm_evicted_segments":
+                            epoch_caps[k] = epoch_caps.get(k, 0) \
+                                + int(np.asarray(v).sum())
+                        else:
+                            epoch_caps[k] = v  # latest (occupancy etc.)
                 if not args.quiet:
                     m = {k: int(np.asarray(v).sum()) for k, v in
                          out.metrics.items()
@@ -203,6 +215,9 @@ def main():
                         f"correct columns: {m['correct']}, "
                         f"incorrect columns: {m['incorrect']}"
                     )
+            if logger is not None and epoch_caps:
+                logger.write_capacity(epoch_caps, epoch=epoch,
+                                      pool_slots=cfg.tm.segment_capacity)
 
     jax.block_until_ready(state)
     elapsed = time.time() - start

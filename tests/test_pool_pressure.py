@@ -1,0 +1,122 @@
+"""Column-pool pressure study (VERDICT r1 #6).
+
+The TPU build replaces the reference's unbounded global segment store
+(`DynamicArray2D` growth + table-wide recycling, `projections.py:79-95`
++ `utils.py:79-135`) with a static per-column pool of G slots. The
+failure mode this creates: once a column's G slots are all *mature*
+(live synapses >= matching threshold, so not recyclable under the
+reference's `add_output` rule, `projections.py:80`), the column can
+never host a NEW context — where the reference would simply grow its
+table.
+
+Worst-case workload driving it: one shared pattern S presented after
+each of N context patterns in rotation. S's cells predict all N
+contexts at once, so N-1 context predictions are punished per cycle;
+eventually one context's segments die and must re-bootstrap — which
+requires a fresh allocation in the now-mature pool.
+
+Measured behavior (this file asserts it):
+  * `allocation_policy="reference"` (default): permanent lockout — the
+    dropped-allocation counter fires every epoch and the broken context
+    never recovers. The failure is *surfaced*, not silent.
+  * `allocation_policy="evict"`: the weakest non-matching mature slot
+    is evicted instead; the broken context re-bootstraps and the run
+    keeps returning to full prediction with zero drops.
+  * `segments_per_column` headroom is the static-envelope knob: sized
+    above the context count, the default policy converges outright.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bithtm_tpu import TMConfig, tm_init
+from bithtm_tpu.models.temporal_memory import tm_step
+
+
+def _run_contexts(n_ctx: int, G: int, epochs: int = 40,
+                  policy: str = "reference"):
+    """Rotating (context_i, S) pairs; per-epoch stats for the shared
+    pattern S: bursting, allocation drops/evictions (both step kinds),
+    and the fraction of (context -> S) transitions predicted."""
+    C, D, A = 96, 8, 6
+    cfg = TMConfig(
+        column_dim=C, cell_dim=D, active_columns=A,
+        segments_per_column=G, synapse_capacity=16,
+        segment_activation_threshold=3, segment_matching_threshold=3,
+        segment_sampling_synapses=6,
+        allocation_policy=policy,
+    )
+    rng = np.random.RandomState(0)
+    # contexts use disjoint column ranges; S is a fixed disjoint set
+    shared = np.arange(C - A, C, dtype=np.int32)
+    ctxs = [np.sort(rng.choice(C - A, size=A, replace=False)).astype(np.int32)
+            for _ in range(n_ctx)]
+
+    step = jax.jit(functools.partial(tm_step, cfg),
+                   static_argnames=("learning",))
+    state = tm_init(cfg)
+    key = jax.random.key(42)
+    stats = []
+    for epoch in range(epochs):
+        burst_s = drops = evicted = 0
+        predicted_cols = 0
+        for i in range(n_ctx):
+            key, k1, k2 = jax.random.split(key, 3)
+            state, o1 = step(state, k1, jnp.asarray(ctxs[i]), learning=True)
+            pred_before = np.asarray(state.prediction)  # (C, D)
+            state, o2 = step(state, k2, jnp.asarray(shared),
+                             learning=True)
+            m1, m2 = jax.device_get((o1.metrics, o2.metrics))
+            burst_s += int(m2["tm_bursting_columns"])
+            drops += int(m1["tm_dropped_new_segments"]) + int(
+                m2["tm_dropped_new_segments"])
+            evicted += int(m1["tm_evicted_segments"]) + int(
+                m2["tm_evicted_segments"])
+            predicted_cols += int(pred_before[shared].any(-1).sum())
+        stats.append(dict(
+            bursting=burst_s, drops=drops, evicted=evicted,
+            predicted_frac=predicted_cols / (n_ctx * A),
+        ))
+    return cfg, stats
+
+
+def test_reference_policy_lockout_is_surfaced():
+    """Default policy: after the punishment cycle first breaks a
+    context (~epoch 16 here), its column pools are fully mature, the
+    re-bootstrap allocation drops EVERY epoch, and prediction never
+    returns to full — a permanent lockout, but a loudly counted one."""
+    _, stats = _run_contexts(n_ctx=3, G=4, policy="reference")
+    late = stats[-15:]
+    assert all(s["drops"] > 0 for s in late), late
+    assert all(s["evicted"] == 0 for s in late)
+    assert max(s["predicted_frac"] for s in late) < 1.0, late
+
+
+def test_evict_policy_recovers():
+    """Evict policy on the identical workload: allocations never drop
+    (the weakest mature slot is recycled instead, counted), and the
+    broken context periodically re-bootstraps back to full
+    prediction."""
+    _, stats = _run_contexts(n_ctx=3, G=4, policy="evict")
+    assert all(s["drops"] == 0 for s in stats), stats[-5:]
+    late = stats[-20:]
+    assert any(s["evicted"] > 0 for s in late), late
+    assert max(s["predicted_frac"] for s in late) == 1.0, late
+
+
+def test_headroom_knob_keeps_pool_out_of_the_picture():
+    """segments_per_column sized above the context count: allocations
+    never drop, so the pool is out of the dynamics entirely and every
+    punishment-induced context break re-bootstraps (the run keeps
+    returning to full prediction). At 8 contexts the punishment cycle
+    itself (7 punishments per reinforcement) keeps churning contexts —
+    that is workload dynamics shared with the reference algorithm, not
+    pool pressure."""
+    _, stats = _run_contexts(n_ctx=8, G=16, epochs=30)
+    assert all(s["drops"] == 0 for s in stats)
+    assert all(s["evicted"] == 0 for s in stats)
+    late = stats[-10:]
+    assert max(s["predicted_frac"] for s in late) == 1.0, late

@@ -51,6 +51,43 @@ def test_jsonl_logger(tmp_path):
     assert "bursting" in lines[1] and lines[1]["step"] == 0
 
 
+def test_capacity_health_events(tmp_path):
+    """The JSONL logger's per-epoch capacity record (VERDICT r1 #10):
+    drop/eviction totals, latest pool occupancy (+fraction), and an
+    ok/pressure status an operator can alert on."""
+    from bithtm_tpu.utils.metrics_log import capacity_health
+
+    cfg = small_cfg()
+    state = htm_init(jax.random.key(0), cfg)
+    rng = np.random.RandomState(0)
+    seq = jnp.asarray(rng.rand(6, cfg.input_dim) < 0.2)
+    state, metrics = htm_scan(cfg, state, seq, True)
+
+    path = str(tmp_path / "m.jsonl")
+    log = JsonlLogger(path)
+    log.write_capacity(jax.device_get(metrics), scan=True,
+                       pool_slots=cfg.tm.segment_capacity, epoch=0)
+    log.close()
+    rec = [json.loads(l) for l in open(path)][-1]
+    assert rec["event"] == "capacity" and rec["epoch"] == 0
+    assert rec["status"] == "ok"  # tiny run: nothing drops
+    assert 0.0 <= rec["pool_occupancy_frac"] <= 1.0
+    assert rec["tm_dropped_new_segments"] == 0
+    assert "tm_evicted_segments" in rec
+
+    # pressure path: synthesize counters
+    h = capacity_health(
+        {"tm_dropped_new_segments": np.asarray([3, 1]),
+         "tm_evicted_segments": np.asarray(0),
+         "tm_pool_occupancy": np.asarray([[5, 7], [6, 8]])},
+        pool_slots=16, scan=True,
+    )
+    assert h["status"] == "pressure"
+    assert h["tm_dropped_new_segments"] == 4
+    assert h["pool_occupancy"] == 7.0  # latest step, mean over streams
+    assert h["pool_occupancy_frac"] == round(7.0 / 16, 4)
+
+
 def test_summarize_shapes():
     m = {"a": jnp.asarray(3), "b": jnp.asarray([1, 2]),
          "c": jnp.asarray([0.5, 1.5])}
