@@ -241,7 +241,7 @@ def test_select_and_fill_methods_agree():
     from bithtm_tpu.models.temporal_memory import _select_and_fill
 
     rng = np.random.RandomState(42)
-    for trial in range(20):
+    for trial in range(8):  # each distinct shape costs 2 jit compiles
         L = int(rng.randint(1, 12))
         Wc = int(rng.choice([4, 16, 130, 260]))
         K = int(rng.randint(3, 20))
