@@ -535,13 +535,11 @@ def tm_step(
         perm_full = state.synapse_perm
         seg_cell = state.seg_cell
         learn_metrics = {}
-        act_b = synapse_activation(syn_full, active_cols, act_bits, D)
-        act_now = act_b.astype(jnp.bfloat16)
+        act_now = synapse_activation(syn_full, active_cols, act_bits, D)
         potential = seg_reduce_counts(act_now, G, K)           # (C, G)
         connected = seg_reduce_counts(
-            (act_b & (perm_full >= cfg.permanence_threshold)).astype(
-                jnp.bfloat16
-            ), G, K,
+            jnp.where(perm_full >= cfg.permanence_threshold, act_now,
+                      jnp.bfloat16(0)), G, K,
         )
         matching = potential >= cfg.segment_matching_threshold
         seg_active = matching & (

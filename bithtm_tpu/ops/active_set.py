@@ -111,7 +111,9 @@ def synapse_activation(
     cell_dim: int,
 ) -> jnp.ndarray:
     """Dispatch to the fused Pallas kernel on TPU (single HBM pass) or
-    the pure-XLA form elsewhere. Identical results on both paths."""
+    the pure-XLA form elsewhere. Identical results on both paths.
+    Returns a bf16 0/1 mask (the count dots' MXU operand dtype; the
+    kernel emits it directly, saving a table-sized convert pass)."""
     if jax.default_backend() == "tpu":
         block = _pallas_block(syn_cell.shape[0], 4 * syn_cell.shape[1])
         if block:
@@ -120,7 +122,9 @@ def synapse_activation(
             return synapse_activation_tpu(
                 syn_cell, cols, bits, cell_dim, block=block
             )
-    return synapse_activation_xla(syn_cell, cols, bits, cell_dim)
+    return synapse_activation_xla(syn_cell, cols, bits, cell_dim).astype(
+        jnp.bfloat16
+    )
 
 
 def synapse_activation_xla(

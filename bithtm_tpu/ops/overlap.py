@@ -31,23 +31,28 @@ def pack_input(bits: jnp.ndarray) -> jnp.ndarray:
     """(..., I) bool -> (..., S = ceil(I/8)) uint8, **strided mapping**:
     bit j of word w holds input ``i = j*S + w``.
 
-    The strided (sublane) layout keeps the word axis co-located with the
-    lane axis: the pack is a reshape to (..., 8, S) + a shift-weighted
-    reduce over the *second-minor* axis — the natural TPU reduction —
-    instead of regrouping lanes 8-at-a-time. Which input lands in which
-    bit is private to this module (pack/unpack/overlap agree; the
-    overlap's AND+popcount is mapping-agnostic).
+    The strided layout keeps the word axis co-located with the lane
+    axis, and the pack is written as 8 OR-shifted *slice* reads of the
+    source so XLA fuses it into one (…, S)-shaped loop fusion reading 8
+    windows of the producer — no boolean intermediate, no reshape, no
+    relayout (the reshape+reduce form measurably forced a transposed
+    layout on the s16 SP permanence table plus a full pred
+    materialization). Which input lands in which bit is private to this
+    module (pack/unpack/overlap agree; the overlap's AND+popcount is
+    mapping-agnostic).
     """
     I = bits.shape[-1]
     S = input_words(I)
-    pad = S * 8 - I
-    if pad:
-        bits = jnp.concatenate(
-            [bits, jnp.zeros((*bits.shape[:-1], pad), bits.dtype)], axis=-1
-        )
-    m = bits.reshape(*bits.shape[:-1], 8, S).astype(jnp.uint8)
-    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
-    return (m * weights[:, None]).sum(axis=-2, dtype=jnp.uint8)
+    out = jnp.zeros((*bits.shape[:-1], S), jnp.uint8)
+    for j in range((I + S - 1) // S):
+        sl = bits[..., j * S:min((j + 1) * S, I)]
+        if sl.shape[-1] < S:  # ragged tail when I % S != 0
+            sl = jnp.concatenate(
+                [sl, jnp.zeros((*sl.shape[:-1], S - sl.shape[-1]),
+                               sl.dtype)], axis=-1,
+            )
+        out = out | (sl.astype(jnp.uint8) << j)
+    return out
 
 
 def unpack_connected(words: jnp.ndarray, input_dim: int) -> jnp.ndarray:

@@ -56,7 +56,8 @@ def _act_kernel(cols_ref, bits_ref, syn_ref, act_ref, *, cell_dim: int,
     lo = syn - col * cell_dim
     bitpos = (lo % 32).astype(jnp.uint32)
     matched = _match_bits(cols_ref, bits_ref, col, lo, num_active, words)
-    act_ref[:] = ((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)
+    act = ((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)
+    act_ref[:] = act.astype(jnp.bfloat16)  # MXU operand of the count dots
 
 
 def _table_kernel(cols_ref, bits_ref, syn_ref, perm_ref, actprev_ref,
@@ -157,7 +158,8 @@ def synapse_activation_tpu(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Pallas TPU version of `active_set.synapse_activation` (identical
-    semantics, single HBM pass)."""
+    semantics, single HBM pass; bf16 0/1 output — the count dots' MXU
+    operand dtype)."""
     C, J = syn_cell.shape
     A, W = bits.shape
     block = min(block, C)
@@ -168,7 +170,7 @@ def synapse_activation_tpu(
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((C, J), jnp.bool_),
+        out_shape=jax.ShapeDtypeStruct((C, J), jnp.bfloat16),
         grid=(C // block,),
         in_specs=[
             pl.BlockSpec((1, A), lambda i: (0, 0),

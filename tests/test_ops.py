@@ -63,7 +63,7 @@ def test_synapse_activation_matches_dense_gather():
                 jnp.asarray(syn), jnp.asarray(cols),
                 pack_bits(jnp.asarray(rows)), D,
             )
-        )
+        ) != 0  # bf16 0/1 contract
         flat = dense.reshape(-1)
         expect = np.where(syn >= 0, flat[np.clip(syn, 0, N - 1)], False)
         np.testing.assert_array_equal(got, expect)

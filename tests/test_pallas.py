@@ -35,7 +35,7 @@ def test_synapse_activation_kernel_matches_xla():
                 jnp.asarray(syn), jnp.asarray(cols), bits, D,
                 block=8, interpret=True,
             )
-        )
+        ) != 0  # kernel emits the bf16 0/1 MXU-operand form
         np.testing.assert_array_equal(got, ref)
 
 
