@@ -77,6 +77,22 @@ WORKER_DP = _PREAMBLE + textwrap.dedent("""
     shard = np.asarray(jax.device_get(
         metrics["bursting"].addressable_shards[0].data))
     print(f"MULTIHOST_OK rank={rank} burst={shard.tolist()}", flush=True)
+
+    # also cross-host MODEL parallelism: a 2x2 (data x model) mesh puts
+    # each model shard-pair on different processes, so the prediction
+    # reduce crosses the host boundary
+    mesh2 = make_mesh(n_data=2, n_model=2)
+    step2 = sharded_step(cfg, mesh2, learning=True)
+    state2 = shard_batched_state(
+        htm_init_batch(jax.random.key(1), cfg, 4), mesh2)
+    rng2 = np.random.RandomState(5)
+    for t in range(2):
+        full = rng2.rand(4, cfg.input_dim) < 0.2
+        x2 = make_global_array(full[local_batch_slice(4)], mesh2,
+                               P("data", None))
+        state2, m2 = step2(state2, x2)
+    jax.block_until_ready(state2)
+    print(f"MODELPAR_OK rank={rank}", flush=True)
 """)
 
 # Phase A: 3 steps -> checkpoint local shard -> keep stepping until
@@ -193,9 +209,10 @@ def _run_to_completion(script_text, tmp_path, tag, want, extra_args=()):
 
 
 def test_two_process_data_parallel(tmp_path):
-    outs = _run_to_completion(WORKER_DP, tmp_path, "dp", "MULTIHOST_OK")
+    outs = _run_to_completion(WORKER_DP, tmp_path, "dp", "MODELPAR_OK")
     for rank, out in enumerate(outs):
         assert f"MULTIHOST_OK rank={rank}" in out, out[-2000:]
+        assert f"MODELPAR_OK rank={rank}" in out, out[-2000:]
 
 
 def test_elastic_recovery_restart_resumes_bitexact(tmp_path):
