@@ -468,7 +468,9 @@ def tm_step(
     id). `learning`, `compute_winner`, `return_debug` are jit-static,
     mirroring the `learning` / `return_winner_cell` flags of
     `networks.py:91`. `epsilon` overrides `cfg.epsilon` for this call
-    (the reference exposes it per `process` call, `networks.py:91`).
+    (the reference exposes it per `process` call, `networks.py:91`);
+    it becomes part of the jit-static config, so every distinct value
+    compiles a fresh step — don't sweep it per call.
     """
     if epsilon is not None and epsilon != cfg.epsilon:
         import dataclasses

@@ -88,7 +88,12 @@ class TemporalMemory:
     def process(self, sp_output, learning=True, return_winner_cell=True,
                 epsilon=None):
         """`epsilon` overrides the config's tie-equality tolerance for
-        this call (reference `networks.py:91`)."""
+        this call (reference `networks.py:91`).
+
+        NOTE: epsilon is part of the compiled program (it feeds
+        jit-static config), so each *distinct* value compiles its own
+        TM step. Fine for a handful of values; do NOT sweep/anneal it
+        per step — set it in the config instead."""
         self.key, sub = jax.random.split(self.key)
         self.state, out = _jit_tm_step(
             self.config, self.state, sub, sp_output.active_columns,

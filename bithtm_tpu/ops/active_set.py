@@ -93,12 +93,18 @@ def _pallas_block(rows: int, row_bytes: int) -> int:
         _warned_fallback_shapes.add((rows, row_bytes))
         import warnings
 
+        if rows % 8 != 0:
+            why = (f"column_dim={rows} is not divisible by 8 — use a "
+                   f"column_dim divisible by 8 to restore the fused "
+                   f"kernel")
+        else:
+            why = (f"even an 8-row tile of the synapse table "
+                   f"({8 * row_bytes} bytes) exceeds the {budget}-byte "
+                   f"VMEM tile budget — reduce segments_per_column * "
+                   f"synapse_capacity to restore the fused kernel")
         warnings.warn(
-            f"bithtm_tpu: column_dim={rows} has no power-of-two block "
-            f">= 8 that divides it within the VMEM budget; the fused "
-            f"Pallas table kernels fall back to the (slower, identical-"
-            f"result) XLA path. Use a column_dim divisible by 8 to keep "
-            f"the fused kernel.",
+            f"bithtm_tpu: the fused Pallas table kernels fall back to "
+            f"the (slower, identical-result) XLA path: {why}.",
             stacklevel=3,
         )
     return 0

@@ -4,16 +4,19 @@ Reference semantics (`projections.py:18-21`): per column, count input
 bits that land on connected synapses (permanence >= threshold).
 
 TPU form: the connection matrix is binary, so it is cached **bit-packed
-as uint8** (`SPState.connected`, (C, ceil(I/8))) and the overlap is a
-popcount of the AND with the packed input — 1/8th the HBM traffic of an
-int8 matrix (the int8 matvec is bandwidth-bound: each stream has its
+as uint8** (`SPState.connected`, (C, S = ceil(I/8))) and the overlap is
+a popcount of the AND with the packed input — 1/8th the HBM traffic of
+an int8 matrix (the int8 matvec is bandwidth-bound: each stream has its
 own connection matrix, so the MXU gets no operand reuse).
 
-uint8 words, not uint32: when ``I % 8 == 0`` the pack is a free
-row-major reshape ``(C, I) -> (C, I/8, 8)`` + an 8-wide minor reduce,
-which XLA fuses straight into the permanence-update pass — no padded
-boolean intermediate is ever materialized (measured: the u32 variant
-cost a 0.5 GB pred materialization + pad per step at batch 256).
+The bit mapping is **strided**: bit j of word w holds input
+``i = j*S + w`` (NOT the row-major ``i = 8*w + j``), so the pack is 8
+OR-shifted slice reads that XLA fuses into the permanence-update pass
+with no boolean intermediate, no reshape, no relayout (both the
+row-major u32 pack and a reshape+reduce form measurably materialized
+0.5 GB+ of padded pred / forced transposed-layout copies per step at
+batch 256). The mapping is private to this module — always go through
+`pack_input` / `unpack_connected`.
 """
 
 from __future__ import annotations

@@ -65,13 +65,21 @@ def prefetch_to_device(chunks: Iterable, buffer_size: int = 2,
                 raise item
             yield item
     finally:
-        # consumer done or bailed early: release the producer, wait for
-        # it to notice (so no q.put can race the drain below and leave a
-        # device chunk referenced by the abandoned queue), then drop any
-        # queued device buffers
+        # consumer done or bailed early: release the producer and
+        # interleave draining with short joins until the thread is
+        # gone — draining unblocks a producer stuck on a full queue,
+        # and only after the thread has exited can no further q.put
+        # race the final drain (so no device buffer stays referenced
+        # by the abandoned queue). The producer exits promptly once
+        # any in-flight device_put returns, so this terminates.
         abandoned.set()
-        t.join(timeout=5.0)
-        while not q.empty():
+        while t.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=0.05)
+        while True:
             try:
                 q.get_nowait()
             except queue.Empty:

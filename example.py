@@ -185,7 +185,7 @@ def main():
                     f"incorrect {np.sum(m['incorrect'])}"
                 )
         else:
-            epoch_caps = {}  # summed drop/eviction counters this epoch
+            epoch_metrics = []  # per-step host metrics for capacity agg
             for i, pattern in enumerate(inputs):
                 noisy = pattern ^ (
                     rng.rand(args.input_dim) < args.input_noise_probability
@@ -198,13 +198,7 @@ def main():
                 if logger is not None:
                     host_m = jax.device_get(out.metrics)
                     logger.write(host_m, epoch=epoch)
-                    for k, v in host_m.items():
-                        if k.startswith("tm_dropped_") or \
-                                k == "tm_evicted_segments":
-                            epoch_caps[k] = epoch_caps.get(k, 0) \
-                                + int(np.asarray(v).sum())
-                        else:
-                            epoch_caps[k] = v  # latest (occupancy etc.)
+                    epoch_metrics.append(host_m)
                 if not args.quiet:
                     m = {k: int(np.asarray(v).sum()) for k, v in
                          out.metrics.items()
@@ -215,8 +209,14 @@ def main():
                         f"correct columns: {m['correct']}, "
                         f"incorrect columns: {m['incorrect']}"
                     )
-            if logger is not None and epoch_caps:
-                logger.write_capacity(epoch_caps, epoch=epoch,
+            if logger is not None and epoch_metrics:
+                # stack [T]-wise so capacity_health owns the counter
+                # classification (sums drops, takes latest occupancy)
+                stacked = {
+                    k: np.stack([np.asarray(m[k]) for m in epoch_metrics])
+                    for k in epoch_metrics[0]
+                }
+                logger.write_capacity(stacked, scan=True, epoch=epoch,
                                       pool_slots=cfg.tm.segment_capacity)
 
     jax.block_until_ready(state)
