@@ -58,7 +58,7 @@ from ..ops.active_set import (
     rank_ascending,
     seg_broadcast,
     seg_reduce_counts,
-    synapse_activation,
+    synapse_activation_conn,
     table_update,
     take_percell,
     unpack_bits,
@@ -537,12 +537,12 @@ def tm_step(
         perm_full = state.synapse_perm
         seg_cell = state.seg_cell
         learn_metrics = {}
-        act_now = synapse_activation(syn_full, active_cols, act_bits, D)
-        potential = seg_reduce_counts(act_now, G, K)           # (C, G)
-        connected = seg_reduce_counts(
-            jnp.where(perm_full >= cfg.permanence_threshold, act_now,
-                      jnp.bfloat16(0)), G, K,
+        act_now, conn_now = synapse_activation_conn(
+            syn_full, perm_full, active_cols, act_bits, D,
+            cfg.permanence_threshold,
         )
+        potential = seg_reduce_counts(act_now, G, K)           # (C, G)
+        connected = seg_reduce_counts(conn_now, G, K)
         matching = potential >= cfg.segment_matching_threshold
         seg_active = matching & (
             connected >= cfg.segment_activation_threshold

@@ -133,6 +133,32 @@ def synapse_activation(
     )
 
 
+def synapse_activation_conn(
+    syn_cell: jnp.ndarray,
+    syn_perm: jnp.ndarray,
+    cols: jnp.ndarray,
+    bits: jnp.ndarray,
+    cell_dim: int,
+    perm_threshold: float,
+):
+    """Activation + connected-activity over a frozen table in one pass
+    (the inference forward; learning gets these from `table_update`).
+    Returns (act bf16, conn bf16); identical results on both paths."""
+    if jax.default_backend() == "tpu":
+        block = _pallas_block(syn_cell.shape[0], 8 * syn_cell.shape[1])
+        if block:
+            from .pallas_kernels import synapse_activation_conn_tpu
+
+            return synapse_activation_conn_tpu(
+                syn_cell, syn_perm, cols, bits, cell_dim,
+                perm_threshold, block=block,
+            )
+    act_b = synapse_activation_xla(syn_cell, cols, bits, cell_dim)
+    act = act_b.astype(jnp.bfloat16)
+    conn = (act_b & (syn_perm >= perm_threshold)).astype(jnp.bfloat16)
+    return act, conn
+
+
 def synapse_activation_xla(
     syn_cell: jnp.ndarray,
     cols: jnp.ndarray,

@@ -60,6 +60,25 @@ def _act_kernel(cols_ref, bits_ref, syn_ref, act_ref, *, cell_dim: int,
     act_ref[:] = act.astype(jnp.bfloat16)  # MXU operand of the count dots
 
 
+def _act_conn_kernel(cols_ref, bits_ref, syn_ref, perm_ref, act_ref,
+                     conn_ref, *, cell_dim: int, num_active: int,
+                     words: int, perm_threshold: float):
+    """Inference-path variant: activation AND connected-activity in one
+    pass (the frozen table is read-only, so unlike `_table_kernel` it
+    writes no syn/perm back — the connected compare otherwise costs a
+    separate XLA pass re-reading the f32 permanence table)."""
+    syn = syn_ref[:]
+    col = syn // cell_dim
+    lo = syn - col * cell_dim
+    bitpos = (lo % 32).astype(jnp.uint32)
+    matched = _match_bits(cols_ref, bits_ref, col, lo, num_active, words)
+    act = ((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)
+    act_ref[:] = act.astype(jnp.bfloat16)
+    conn_ref[:] = (act & (perm_ref[:] >= perm_threshold)).astype(
+        jnp.bfloat16
+    )
+
+
 def _table_kernel(cols_ref, bits_ref, syn_ref, perm_ref, actprev_ref,
                   pun_ref, syn_out, perm_out, act_out, conn_out, *,
                   cell_dim: int, num_active: int, words: int,
@@ -184,3 +203,45 @@ def synapse_activation_tpu(
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(cols.reshape(1, A), bits, syn_cell)
+
+
+def synapse_activation_conn_tpu(
+    syn_cell: jnp.ndarray,   # (C, J) int32
+    syn_perm: jnp.ndarray,   # (C, J) float32
+    cols: jnp.ndarray,       # (A,) int32
+    bits: jnp.ndarray,       # (A, W) uint32
+    cell_dim: int,
+    perm_threshold: float,
+    block: int = 256,
+    interpret: bool = False,
+):
+    """Fused activation + connected-activity over a frozen table (the
+    inference forward pass). Returns (act bf16, conn bf16)."""
+    C, J = syn_cell.shape
+    A, W = bits.shape
+    block = min(block, C)
+    assert C % block == 0, (C, block)
+
+    kernel = functools.partial(
+        _act_conn_kernel, cell_dim=cell_dim, num_active=A, words=W,
+        perm_threshold=perm_threshold,
+    )
+    big = lambda: pl.BlockSpec((block, J), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((C, J), jnp.bfloat16),
+            jax.ShapeDtypeStruct((C, J), jnp.bfloat16),
+        ),
+        grid=(C // block,),
+        in_specs=[
+            pl.BlockSpec((1, A), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((A, W), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            big(), big(),
+        ],
+        out_specs=(big(), big()),
+        interpret=interpret,
+    )(cols.reshape(1, A), bits, syn_cell, syn_perm)

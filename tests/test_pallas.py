@@ -73,3 +73,30 @@ def test_table_update_kernel_matches_xla():
         np.testing.assert_array_equal(
             np.asarray(got[3]) != 0, conn_ref
         )
+
+
+def test_act_conn_kernel_matches_xla():
+    from bithtm_tpu.ops.active_set import synapse_activation_xla
+    from bithtm_tpu.ops.pallas_kernels import synapse_activation_conn_tpu
+
+    rng = np.random.RandomState(2)
+    for D in (4, 40):
+        C, G, K, A = 16, 4, 8, 3
+        N = C * D
+        syn = rng.randint(-1, N, size=(C, G * K)).astype(np.int32)
+        perm = np.where(
+            syn >= 0, rng.rand(C, G * K).astype(np.float32), -1.0
+        ).astype(np.float32)
+        cols = np.sort(rng.choice(C, A, replace=False)).astype(np.int32)
+        rows = rng.rand(A, D) < 0.5
+        bits = pack_bits(jnp.asarray(rows))
+        act_ref = np.asarray(synapse_activation_xla(
+            jnp.asarray(syn), jnp.asarray(cols), bits, D))
+        act, conn = synapse_activation_conn_tpu(
+            jnp.asarray(syn), jnp.asarray(perm), jnp.asarray(cols),
+            bits, D, 0.5, block=8, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(act) != 0, act_ref)
+        np.testing.assert_array_equal(
+            np.asarray(conn) != 0, act_ref & (perm >= 0.5)
+        )
