@@ -39,6 +39,8 @@ from .encoders import (
     CyclicEncoder,
     DateTimeEncoder,
     ScalarEncoder,
+    anomaly_likelihood_init,
+    anomaly_likelihood_update,
     anomaly_score,
 )
 from .models.stack import (
@@ -66,6 +68,8 @@ __all__ = [
     "sp_step", "SPOutput", "tm_step", "TMOutput",
     "HierarchicalTemporalMemory", "SpatialPooler", "TemporalMemory",
     "ScalarEncoder", "CyclicEncoder", "CategoryEncoder", "DateTimeEncoder",
+    "anomaly_likelihood_init",
+    "anomaly_likelihood_update",
     "anomaly_score",
     "ClassifierState", "classifier_init", "classifier_predict",
     "classifier_update", "bucketize", "bucket_value",

@@ -17,6 +17,7 @@ then feed the resulting SDRs to the jitted step.
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -140,3 +141,74 @@ def anomaly_score(prev_predicted_columns: np.ndarray,
     if n_active == 0:
         return 0.0
     return float((active & ~pred).sum() / n_active)
+
+
+# ---- anomaly likelihood (serving-side post-processing) -----------------
+# Raw anomaly scores are noisy; production anomaly detection (the NAB
+# protocol) thresholds the *likelihood*: the Gaussian tail probability
+# of the recent short-term mean score under the stream's own running
+# score distribution. Absent in the reference (which only prints raw
+# column counts); implemented here as a fixed-size, fully jittable
+# state so it can ride inside `lax.scan` next to the model step.
+
+
+class AnomalyLikelihoodState(NamedTuple):
+    scores: jnp.ndarray      # (W,) ring buffer of raw scores
+    pos: jnp.ndarray         # () int32 next write position
+    count: jnp.ndarray       # () int32 total scores seen (saturates at W)
+    short_mean: jnp.ndarray  # () f32 EMA of recent scores
+
+
+def anomaly_likelihood_init(window: int = 500) -> AnomalyLikelihoodState:
+    return AnomalyLikelihoodState(
+        scores=jnp.zeros((window,), jnp.float32),
+        pos=jnp.zeros((), jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+        short_mean=jnp.zeros((), jnp.float32),
+    )
+
+
+def anomaly_likelihood_update(
+    state: AnomalyLikelihoodState,
+    score: jnp.ndarray,
+    short_momentum: float = 0.9,
+    exclude_recent: int = 10,
+) -> tuple[AnomalyLikelihoodState, jnp.ndarray]:
+    """Push one raw anomaly score; returns (new_state, likelihood in
+    [0, 1]). Likelihood ~0.5 for in-distribution scores, -> 1 when the
+    recent short-term mean sits far in the upper tail of the stream's
+    own running score distribution. Threshold around 0.99999 for
+    NAB-style alerts (equivalently ``-log10(1 - L) >= 5``).
+
+    The distribution is estimated EXCLUDING the newest
+    ``exclude_recent`` samples (the Numenta construction): an anomaly
+    burst must not contaminate the baseline it is being judged
+    against, or the alert collapses before it fires. Until enough
+    history exists the likelihood is held at 0.5 (undecided)."""
+    W = state.scores.shape[0]
+    R = exclude_recent
+    score = jnp.asarray(score, jnp.float32)
+    scores = state.scores.at[state.pos % W].set(score)
+    pos = state.pos + 1
+    count = jnp.minimum(state.count + 1, W)
+    short = (short_momentum * jnp.where(state.count > 0, state.short_mean,
+                                        score)
+             + (1.0 - short_momentum) * score)
+
+    # age 0 = newest; estimate over samples older than R
+    slot = jnp.arange(W, dtype=jnp.int32)
+    age = (pos - 1 - slot) % W
+    est = (age >= R) & (age < count)
+    n = jnp.maximum(est.sum(), 1).astype(jnp.float32)
+    mean = jnp.where(est, scores, 0.0).sum() / n
+    var = jnp.where(est, (scores - mean) ** 2, 0.0).sum() / n
+    std = jnp.sqrt(jnp.maximum(var, 1e-8))
+    # Gaussian upper-tail CDF of the short-term mean
+    z = (short - mean) / std
+    likelihood = 0.5 * (1.0 + jax.scipy.special.erf(z / jnp.sqrt(2.0)))
+    likelihood = jnp.where(count >= R + 10, likelihood, 0.5)
+    return (
+        AnomalyLikelihoodState(scores=scores, pos=pos, count=count,
+                               short_mean=short),
+        likelihood,
+    )

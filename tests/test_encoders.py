@@ -113,3 +113,33 @@ def test_datetime_encoder_minute_resolution_current_era():
     np.testing.assert_array_equal(b, c)
     # 32-bit-overflow era (year 2040) still works
     _ = np.asarray(enc(2_220_000_000))
+
+
+def test_anomaly_likelihood_flags_regime_change():
+    """Jittable NAB-style post-processing: steady noisy scores keep the
+    likelihood moderate; a sustained jump drives it into the alert
+    tail. Runs under lax.scan like a serving loop."""
+    import jax
+
+    from bithtm_tpu import (anomaly_likelihood_init,
+                            anomaly_likelihood_update)
+
+    rng = np.random.RandomState(0)
+    steady = rng.uniform(0.0, 0.2, 300).astype(np.float32)
+    burst = rng.uniform(0.8, 1.0, 30).astype(np.float32)
+    seq = jnp.asarray(np.concatenate([steady, burst]))
+
+    @jax.jit
+    def run(state, seq):
+        return jax.lax.scan(anomaly_likelihood_update, state, seq)
+
+    state, liks = run(anomaly_likelihood_init(window=200), seq)
+    liks = np.asarray(liks)
+    assert (liks[:19] == 0.5).all()          # undecided warm-up
+    assert liks[150:300].max() < 0.999       # steady regime: no alert
+    # burst onset alerts hard; the estimator then adapts as the burst
+    # scores enter its own window (alert is a peak, not a plateau)
+    assert liks[300:320].max() > 0.99999
+    # recovers statefully: feeding steady scores again decays it
+    state2, liks2 = run(state, jnp.asarray(steady[:150]))
+    assert np.asarray(liks2)[-1] < 0.999
