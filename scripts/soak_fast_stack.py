@@ -12,8 +12,14 @@ import numpy as np
 import jax, jax.numpy as jnp
 from bithtm_tpu import htm_init_batch, htm_scan, make_htm_config
 
+import argparse
+_p = argparse.ArgumentParser()
+_p.add_argument("--allocation_policy", default="reference",
+                choices=("reference", "evict"))
+_args = _p.parse_args()
 cfg = make_htm_config(input_dim=1000, column_dim=2048, cell_dim=32,
                       segments_per_column=4, synapse_capacity=64,
+                      allocation_policy=_args.allocation_policy,
                       sp_overrides={"permanence_dtype": "int16"})
 B, T, P = 256, 200, 100
 rng = np.random.RandomState(7)
@@ -30,7 +36,7 @@ for chunk in range(10):  # 2000 steps total
     host = jax.device_get({k: m[k][-1] for k in
         ("bursting", "correct", "incorrect")})
     for k in m:
-        if "dropped" in k:
+        if "dropped" in k or k == "tm_evicted_segments":
             drop_tot[k] = drop_tot.get(k, 0) + int(jax.device_get(m[k].sum()))
     print(f"step {(chunk+1)*T}: bursting={np.mean(host['bursting']):.2f} "
           f"correct={np.mean(host['correct']):.1f} "
