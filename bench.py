@@ -27,7 +27,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", 256)))
     p.add_argument("--steps", type=int, default=int(os.environ.get("BENCH_STEPS", 192)))
-    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--input_dim", type=int, default=1000)
     p.add_argument("--column_dim", type=int, default=2048)
     p.add_argument("--cell_dim", type=int, default=32)
