@@ -54,6 +54,20 @@ class SPConfig:
     permanence_dtype: str = "float32"
     permanence_quantum: float = 0.005
 
+    def __post_init__(self):
+        if not (0 < self.active_columns <= self.column_dim):
+            raise ValueError(
+                f"active_columns={self.active_columns} must be in "
+                f"[1, column_dim={self.column_dim}]"
+            )
+        if self.input_dim <= 0 or self.column_dim <= 0:
+            raise ValueError("input_dim and column_dim must be positive")
+        if self.permanence_dtype not in ("float32", "int16"):
+            raise ValueError(
+                f"permanence_dtype must be 'float32' or 'int16', got "
+                f"{self.permanence_dtype!r}"
+            )
+
     @property
     def density(self) -> float:
         # regularizations.py:9
@@ -128,6 +142,34 @@ class TMConfig:
     allocation_policy: str = "reference"
 
     epsilon: float = 1e-8
+
+    def __post_init__(self):
+        if not (0 < self.active_columns <= self.column_dim):
+            raise ValueError(
+                f"active_columns={self.active_columns} must be in "
+                f"[1, column_dim={self.column_dim}]"
+            )
+        if self.cell_dim <= 0 or self.segments_per_column <= 0:
+            raise ValueError("cell_dim and segments_per_column must be "
+                             "positive")
+        if self.synapse_capacity < self.segment_sampling_synapses:
+            # legal in principle (growth clips to free slots) but almost
+            # certainly a mistake: a fresh segment could never reach the
+            # sampling target
+            import warnings
+
+            warnings.warn(
+                f"bithtm_tpu: synapse_capacity={self.synapse_capacity} < "
+                f"segment_sampling_synapses="
+                f"{self.segment_sampling_synapses}: new segments can "
+                f"never grow the full sample; growth clips to capacity.",
+                stacklevel=3,
+            )
+        if self.allocation_policy not in ("reference", "evict"):
+            raise ValueError(
+                f"allocation_policy must be 'reference' or 'evict', got "
+                f"{self.allocation_policy!r}"
+            )
 
     @property
     def num_cells(self) -> int:

@@ -160,3 +160,25 @@ def test_quantized_sp_saturates_instead_of_wrapping():
     state2, _ = sp_step(cfg, state2, x, True)
     p2 = np.asarray(state2.permanence)
     assert p2.max() == 32000 and (p2 > 0).all()  # pinned, no sign flip
+
+
+def test_pack_input_mapping_fuzz():
+    """The packed-connected bit mapping (private to ops/overlap) must
+    round-trip and preserve overlaps for any input width, including
+    ragged tails (I % S != 0) and tiny widths."""
+    from bithtm_tpu.ops.overlap import (input_words, overlaps,
+                                        pack_input, unpack_connected)
+
+    rng = np.random.RandomState(5)
+    for I in (1, 7, 8, 9, 31, 64, 100, 125, 333, 1000):
+        bits = jnp.asarray(rng.rand(6, I) < 0.4)
+        words = pack_input(bits)
+        assert words.shape == (6, input_words(I))
+        np.testing.assert_array_equal(
+            np.asarray(unpack_connected(words, I)), np.asarray(bits)
+        )
+        x = jnp.asarray(rng.rand(I) < 0.3)
+        np.testing.assert_array_equal(
+            np.asarray(overlaps(words, x)),
+            (np.asarray(bits) & np.asarray(x)).sum(-1),
+        )

@@ -196,3 +196,21 @@ def test_prefetch_early_exit_releases_producer():
     time.sleep(0.3)
     assert len(produced) == n  # producer stopped, not blocked-and-leaked
     assert n < 100
+
+
+def test_config_validation_errors():
+    from bithtm_tpu import SPConfig, TMConfig
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="active_columns"):
+        SPConfig(input_dim=10, column_dim=8, active_columns=9)
+    with _pytest.raises(ValueError, match="permanence_dtype"):
+        SPConfig(input_dim=10, column_dim=8, active_columns=2,
+                 permanence_dtype="fp8")
+    with _pytest.raises(ValueError, match="allocation_policy"):
+        TMConfig(column_dim=8, cell_dim=4, active_columns=2,
+                 allocation_policy="lru")
+    with _pytest.warns(UserWarning, match="synapse_capacity"):
+        TMConfig(column_dim=8, cell_dim=4, active_columns=2,
+                 synapse_capacity=8, segment_sampling_synapses=16)
