@@ -46,18 +46,36 @@ def main(steps: int = 80) -> None:
     oracle = OracleTM(cfg)
     rng = np.random.RandomState(42)
     key = jax.random.key(42)
+    from bithtm_tpu.oracle.bami import OracleDecisions
+
     for t in range(steps):
         cols = np.sort(
             rng.choice(cfg.column_dim, cfg.active_columns, replace=False)
         ).astype(np.int32)
         key, sub = jax.random.split(key)
-        state, out, debug = step_fn(
-            state, sub, jnp.asarray(cols), learning=True, return_debug=True
-        )
-        oracle.step(cols, extract_decisions(jax.device_get(debug)),
-                    learning=True)
+        # mixed schedule: inference steps exercise the fused
+        # activation+connected kernel (synapse_activation_conn), the
+        # learning steps the table kernel
+        learning = t % 5 != 3
+        if learning:
+            state, out, debug = step_fn(
+                state, sub, jnp.asarray(cols), learning=True,
+                return_debug=True,
+            )
+            dec = extract_decisions(jax.device_get(debug))
+        else:
+            state, out = step_fn(state, sub, jnp.asarray(cols),
+                                 learning=False)
+            dec = OracleDecisions(
+                winner_cells=set(
+                    np.nonzero(np.asarray(out.winner_mask))[0].tolist()
+                ),
+                learning_segments=set(), new_segments=[], grown={},
+            )
+        oracle.step(cols, dec, learning=learning)
         oracle.compare(jax.device_get(state))
-    print(f"{backend}-backend parity: {steps} steps bit-exact vs oracle"
+    print(f"{backend}-backend parity: {steps} mixed learning/inference "
+          f"steps bit-exact vs oracle"
           + (" (compiled Pallas kernels in the loop)"
              if backend == "tpu" else ""))
 
