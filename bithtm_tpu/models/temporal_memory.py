@@ -30,10 +30,10 @@ TPU-native design (why this looks nothing like the reference):
     (winner cells and learning segments only exist there), where 3D
     shapes are tiny; the only full-table learning op is the punishment
     decrement, a pure elementwise pass.
-  * No sorts in the hot path: active columns are sorted once per step
-    (A-wide), growth sampling uses pairwise rank counts over the
-    narrow candidate axis, and segment allocation is deterministic
-    rank-pairing.
+  * Minimal sorting: active columns are sorted once per step (A-wide),
+    growth sampling is one `lax.sort` of random priorities over the
+    narrow candidate axis (sortfill), and segment allocation is
+    deterministic rank-pairing.
 
 Capacity overflows (per-column pool or synapse rows full) are dropped
 and surfaced as metrics instead of reallocating (the reference grows
