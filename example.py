@@ -98,6 +98,10 @@ def main():
                         "(the reference's --use_reference_implementation, "
                         "upgraded to a continuous differential check; "
                         "single stream, no --scan)")
+    p.add_argument("--allocation_policy", default="reference",
+                   choices=("reference", "evict"),
+                   help="segment-pool overflow behavior (see README "
+                        "'Pool capacity semantics')")
     p.add_argument("--log", type=str, default=None,
                    help="append per-step metrics to this JSONL file")
     p.add_argument("--quiet", action="store_true")
@@ -126,6 +130,7 @@ def main():
         segment_activation_threshold=args.activation_threshold,
         segment_matching_threshold=args.matching_threshold,
         segment_sampling_synapses=args.sampling_synapses,
+        allocation_policy=args.allocation_policy,
     )
     rng = np.random.RandomState(args.seed)
     inputs = rng.rand(args.input_patterns, args.input_dim) < args.input_density
