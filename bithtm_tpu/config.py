@@ -212,11 +212,19 @@ class TMConfig:
     def resolved_growth_capacity(self) -> int:
         """Static width L of the per-step growing-segment list. The
         candidate-selection math runs on this compact list instead of
-        all A*G active-column slots."""
+        all A*G active-column slots.
+
+        Unlike the winner list (whose width Wc is a LANE axis and wants
+        the full 128), L is a sublane axis: the auto floor is 2x the
+        active-column count rounded to the 8-sublane granularity
+        (steady-state learning segments are ~1 per active column; 2x
+        absorbs multi-matching winners — overflow is dropped + counted
+        in `tm_dropped_growth_segments`). Measured zero drops on the
+        2000-step reference-workload soak at this width."""
         if self.growth_capacity:
             return self.growth_capacity
         return min(self.active_columns * self.segments_per_column,
-                   self._auto_compaction_width)
+                   max(64, _round_up(2 * self.active_columns, 8)))
 
 
 @dataclasses.dataclass(frozen=True)
