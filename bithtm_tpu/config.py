@@ -67,6 +67,8 @@ class SPConfig:
                 f"permanence_dtype must be 'float32' or 'int16', got "
                 f"{self.permanence_dtype!r}"
             )
+        if self.permanence_quantum <= 0:
+            raise ValueError("permanence_quantum must be positive")
 
     @property
     def density(self) -> float:
@@ -109,10 +111,12 @@ class TMConfig:
     # (drops are counted in metrics if a workload ever exceeds them).
     segments_per_column: int = 8    # G: segment slots per column
     synapse_capacity: int = 48      # K: synapse slots per segment
-    winner_capacity: int = 0        # W: growth-candidate list width
-                                    # (0 = auto: min(A * D, 128))
+    winner_capacity: int = 0        # Wc: growth-candidate list width
+                                    # (0 = auto: min(A*D, max(128,
+                                    # roundup(2A, 128))) — a lane axis)
     growth_capacity: int = 0        # L: segments growing per step
-                                    # (0 = auto: min(A * G, 128))
+                                    # (0 = auto: min(A*G, max(64,
+                                    # roundup(2A, 8))) — a sublane axis)
 
     # Distal permanence dynamics (projections.py:205-219).
     permanence_initial: float = 0.21
@@ -152,6 +156,13 @@ class TMConfig:
         if self.cell_dim <= 0 or self.segments_per_column <= 0:
             raise ValueError("cell_dim and segments_per_column must be "
                              "positive")
+        if self.synapse_capacity <= 0 or \
+                self.segment_sampling_synapses <= 0:
+            raise ValueError("synapse_capacity and "
+                             "segment_sampling_synapses must be positive")
+        if self.winner_capacity < 0 or self.growth_capacity < 0:
+            raise ValueError("winner_capacity/growth_capacity must be "
+                             ">= 0 (0 = auto)")
         if self.synapse_capacity < self.segment_sampling_synapses:
             # legal in principle (growth clips to free slots) but almost
             # certainly a mistake: a fresh segment could never reach the
@@ -187,14 +198,15 @@ class TMConfig:
 
     @property
     def _auto_compaction_width(self) -> int:
-        """Shared auto heuristic for the compact winner/growth lists:
-        2x the active-column count (winners and learning segments are
-        ~1 per active column in steady state; 2x absorbs multi-predicted
-        columns), rounded up to the 128-lane width, never below 128.
-        Scales with `active_columns` so large configs (e.g. 16K columns,
-        A=328) are not silently truncated to the lowest 128 ids — the
-        bias VERDICT r1 #2 flagged. Overflow is still dropped + counted
-        (`tm_dropped_winner_candidates` / `tm_dropped_growth_segments`)."""
+        """Auto heuristic for the winner-candidate (lane-axis) list:
+        2x the active-column count (winners are ~1 per active column in
+        steady state; 2x absorbs multi-predicted columns), rounded up
+        to the 128-lane width, never below 128. Scales with
+        `active_columns` so large configs (e.g. 16K columns, A=328) are
+        not silently truncated to the lowest 128 ids — the bias VERDICT
+        r1 #2 flagged. Overflow is still dropped + counted
+        (`tm_dropped_winner_candidates`). The growth list L uses its
+        own sublane-granular formula (`resolved_growth_capacity`)."""
         return max(128, _round_up(2 * self.active_columns, 128))
 
     @property

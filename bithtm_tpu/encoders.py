@@ -187,9 +187,15 @@ def anomaly_likelihood_update(
     history exists the likelihood is held at 0.5 (undecided)."""
     W = state.scores.shape[0]
     R = exclude_recent
+    if W < R + 10:
+        raise ValueError(
+            f"anomaly-likelihood window ({W}) must be at least "
+            f"exclude_recent + 10 ({R + 10}); otherwise the warm-up "
+            f"gate never opens and the likelihood stays 0.5 forever"
+        )
     score = jnp.asarray(score, jnp.float32)
-    scores = state.scores.at[state.pos % W].set(score)
-    pos = state.pos + 1
+    scores = state.scores.at[state.pos].set(score)
+    pos = (state.pos + 1) % W  # keep pos in [0, W): no int32 wrap drift
     count = jnp.minimum(state.count + 1, W)
     short = (short_momentum * jnp.where(state.count > 0, state.short_mean,
                                         score)

@@ -332,9 +332,23 @@ class OracleTM:
 
         # synapse growth (semantics 10): toward prev winners, up to
         # sampling - active_potential, never duplicating targets.
+        # The JAX step compacts the growing segments to the static
+        # L = resolved_growth_capacity list by ascending global slot id
+        # (temporal_memory._grow's nonzero(..., size=L) over the flat
+        # (sorted-active-col, slot) order); learning segments past the
+        # cap skip growth entirely (counted in
+        # tm_dropped_growth_segments) — mirror that here.
+        L = getattr(cfg, "resolved_growth_capacity", None) or len(learning)
+        fits_growth_list = set(sorted(learning)[:L])
         for s in learning:
             grown = decisions.grown.get(s, set())
             syn = self.synapses[s]
+            if s not in fits_growth_list:
+                if grown:
+                    raise ParityError(
+                        f"segment {s}: grew past the growth-list cap"
+                    )
+                continue
             active_pot = sum(1 for cell in syn if cell in prev_active)
             n_grow = max(
                 0,

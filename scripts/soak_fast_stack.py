@@ -11,6 +11,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
 from bithtm_tpu import htm_init_batch, htm_scan, make_htm_config
+from bithtm_tpu.utils.metrics_log import capacity_health
 
 import argparse
 _p = argparse.ArgumentParser()
@@ -35,13 +36,18 @@ for chunk in range(10):  # 2000 steps total
     state, m = htm_scan(cfg, state, seq, True)
     host = jax.device_get({k: m[k][-1] for k in
         ("bursting", "correct", "incorrect")})
-    for k in m:
-        if "dropped" in k or k == "tm_evicted_segments":
-            drop_tot[k] = drop_tot.get(k, 0) + int(jax.device_get(m[k].sum()))
+    # capacity_health owns the counter classification (one source of
+    # truth with the JSONL logger)
+    health = capacity_health(jax.device_get(m), scan=True,
+                             pool_slots=cfg.tm.segment_capacity)
+    for k, v in health.items():
+        if isinstance(v, int):
+            drop_tot[k] = drop_tot.get(k, 0) + v
+    occ_frac = health.get("pool_occupancy_frac", 0.0)
     print(f"step {(chunk+1)*T}: bursting={np.mean(host['bursting']):.2f} "
           f"correct={np.mean(host['correct']):.1f} "
           f"incorrect={np.mean(host['incorrect']):.1f} "
           f"(gen {t1-t0:.1f}s run {time.time()-t1:.1f}s)", flush=True)
 print("total drops over 2000 steps x 256 streams:", drop_tot, flush=True)
-occ = jax.device_get(m["tm_pool_occupancy"][-1])
-print(f"pool occupancy: mean {np.mean(occ):.0f} / {2048*4}", flush=True)
+print(f"pool occupancy (final): {occ_frac:.3f} of "
+      f"{cfg.tm.segment_capacity} slots/stream", flush=True)

@@ -122,6 +122,14 @@ def test_parity_tiny_synapse_capacity_overflow():
     run_parity(cfg, steps=150, seed=4)
 
 
+def test_parity_tiny_growth_capacity():
+    # growth list narrower than the learning-segment count: segments
+    # past the cap (ascending global slot id) skip growth; the oracle
+    # mirrors the truncation (this forces it constantly)
+    cfg = make_cfg(growth_capacity=2)
+    run_parity(cfg, steps=150, seed=14)
+
+
 def test_parity_tiny_winner_capacity():
     # candidate list narrower than the winner count: truncation by
     # ascending cell id must match between oracle and JAX step
