@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Iterable, Iterator
 
 import jax
@@ -71,14 +72,27 @@ def prefetch_to_device(chunks: Iterable, buffer_size: int = 2,
         # and only after the thread has exited can no further q.put
         # race the final drain (so no device buffer stays referenced
         # by the abandoned queue). The producer exits promptly once
-        # any in-flight device_put returns, so this terminates.
+        # any in-flight device_put returns; if it is wedged inside the
+        # user's iterator or a hung transfer, give up after a bounded
+        # deadline and abandon the daemon thread rather than hanging
+        # the consumer's generator-close forever.
         abandoned.set()
-        while t.is_alive():
+        deadline = time.monotonic() + 5.0
+        while t.is_alive() and time.monotonic() < deadline:
             try:
                 q.get_nowait()
             except queue.Empty:
                 pass
             t.join(timeout=0.05)
+        if t.is_alive():
+            import warnings
+
+            warnings.warn(
+                "prefetch_to_device: producer thread did not exit within "
+                "5s of consumer teardown (blocked in the chunks iterator "
+                "or a device transfer); abandoning the daemon thread.",
+                stacklevel=2,
+            )
         while True:
             try:
                 q.get_nowait()
