@@ -156,6 +156,13 @@ class TMConfig:
         if self.cell_dim <= 0 or self.segments_per_column <= 0:
             raise ValueError("cell_dim and segments_per_column must be "
                              "positive")
+        if self.segments_per_column > 32:
+            # the punished-segment mask rides through the table kernel
+            # as one i32 bit per slot per column
+            raise ValueError(
+                f"segments_per_column={self.segments_per_column} "
+                f"exceeds the supported maximum of 32"
+            )
         if self.synapse_capacity <= 0 or \
                 self.segment_sampling_synapses <= 0:
             raise ValueError("synapse_capacity and "

@@ -56,7 +56,6 @@ from ..ops.active_set import (
     percell_max,
     percell_sum,
     rank_ascending,
-    seg_broadcast,
     seg_reduce_counts,
     synapse_activation_conn,
     table_update,
@@ -514,13 +513,20 @@ def tm_step(
         punished = (
             state.segment_matching & ~col_active[:, None] & (state.step > 0)
         )                                                      # (C, G)
-        pun_flat = seg_broadcast(punished, G, K)               # (C, J) 0/1
+        # (C,) i32 bitmask word, bit g = punished[c, g]: the kernel (or
+        # XLA fallback) extracts the per-lane bit, replacing a
+        # table-sized seg_broadcast materialization
+        pun_word = jnp.sum(
+            punished.astype(jnp.int32)
+            << jnp.arange(G, dtype=jnp.int32)[None, :],
+            axis=-1, dtype=jnp.int32,
+        )
         # the fused full-table pass: punish + death + activation +
         # per-segment counts + prediction (networks.py:121-122,
         # projections.py:245-255,269,290-293)
         (syn_full, perm_full, act_now, potential, matching, seg_active,
          prediction) = table_update(
-            syn_mid, perm_mid, state.synapse_act, pun_flat,
+            syn_mid, perm_mid, state.synapse_act, pun_word,
             active_cols, act_bits, seg_cell, D,
             cfg.permanence_punishment, cfg.permanence_threshold,
             cfg.segment_matching_threshold,

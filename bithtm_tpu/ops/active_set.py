@@ -207,7 +207,7 @@ def synapse_activation_xla(
     return hit
 
 
-def table_update_xla(syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
+def table_update_xla(syn_cell, syn_perm, act_prev, pun_word, cols, bits,
                      seg_cell, cell_dim: int, punishment: float,
                      perm_threshold: float, matching_threshold: int,
                      activation_threshold: int):
@@ -215,17 +215,22 @@ def table_update_xla(syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
     decrement + synapse death + active-set compare + per-segment counts
     + matching/active flags + per-cell prediction.
 
-    ``act_prev`` and the returned activity/connected-activity are bf16
-    0/1 masks (the MXU-native operand dtype of the count dots — see
-    `_table_kernel`); counts are exact (values <= K < 256 are
-    representable in bf16, accumulation is f32).
+    ``pun_word`` is ONE i32 per column with bit g = segment g punished
+    (a pre-broadcast (C, J) mask cost a table-sized s32 MXU-dot
+    materialization, ~1 ms/step at B=256). ``act_prev`` and the
+    returned activity/connected-activity are bf16 0/1 masks (the
+    MXU-native operand dtype of the count dots — see `_table_kernel`);
+    counts are exact (values <= K < 256 are representable in bf16,
+    accumulation is f32).
 
     Returns (syn', perm', act_now bf16, potential, matching, seg_active,
     prediction)."""
     G = seg_cell.shape[1]
     K = syn_cell.shape[1] // G
     live = syn_cell >= 0
-    pen = (pun_flat != 0) & (act_prev != 0) & live
+    g_lane = jnp.arange(syn_cell.shape[1], dtype=jnp.int32) // K
+    pen_bit = (pun_word[:, None].astype(jnp.int32) >> g_lane) & 1
+    pen = (pen_bit == 1) & (act_prev != 0) & live
     perm = syn_perm - jnp.where(pen, jnp.float32(punishment),
                                 jnp.float32(0.0))
     dead = live & (perm < 0.0)
@@ -242,12 +247,13 @@ def table_update_xla(syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
     return syn, perm, act, potential, matching, seg_active, prediction
 
 
-def table_update(syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
+def table_update(syn_cell, syn_perm, act_prev, pun_word, cols, bits,
                  seg_cell, cell_dim: int, punishment: float,
                  perm_threshold: float, matching_threshold: int,
                  activation_threshold: int):
     """Dispatch the fused full-table TM pass to the Pallas kernel on
-    TPU, XLA elsewhere. Identical results."""
+    TPU, XLA elsewhere. Identical results. ``pun_word`` is the (C,) i32
+    per-column punished-segment bitmask (bit g)."""
     if jax.default_backend() == "tpu":
         # 8 table-sized tiles live at once (4 in, 4 out) before
         # pipelining, so budget per-tile bytes accordingly
@@ -265,8 +271,8 @@ def table_update(syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
             G = seg_cell.shape[1]
             K = syn_cell.shape[1] // G
             syn, perm, act, conn = table_update_tpu(
-                syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
-                cell_dim, punishment, perm_threshold, block=block,
+                syn_cell, syn_perm, act_prev, pun_word, cols, bits,
+                cell_dim, K, punishment, perm_threshold, block=block,
             )
             potential = seg_reduce_counts(act, G, K)
             connected = seg_reduce_counts(conn, G, K)
@@ -274,7 +280,7 @@ def table_update(syn_cell, syn_perm, act_prev, pun_flat, cols, bits,
             seg_active = matching & (connected >= activation_threshold)
             prediction = percell_max(seg_cell, seg_active, cell_dim, False)
             return syn, perm, act, potential, matching, seg_active, prediction
-    return table_update_xla(syn_cell, syn_perm, act_prev, pun_flat, cols,
+    return table_update_xla(syn_cell, syn_perm, act_prev, pun_word, cols,
                             bits, seg_cell, cell_dim, punishment,
                             perm_threshold, matching_threshold,
                             activation_threshold)

@@ -26,8 +26,24 @@ import jax.numpy as jnp
 
 
 def input_words(input_dim: int) -> int:
-    """uint8 words per packed input row."""
-    return (input_dim + 7) // 8
+    """uint8 words per packed input row.
+
+    Rounded up to a 128-lane multiple so the 8 OR-shifted slice reads of
+    the strided pack are 128-aligned — the alignment the fused Pallas SP
+    kernel (`pallas_kernels.sp_update_pack_tpu`) needs for its in-kernel
+    pack (the unaligned S=ceil(I/8) variant sat in Mosaic compile for
+    >15 minutes, docs/PERFORMANCE.md). The padding bits are always zero.
+    """
+    return max(128, ((input_dim + 7) // 8 + 127) // 128 * 128)
+
+
+def padded_input_dim(input_dim: int) -> int:
+    """Physical width of the SP permanence table: 8 * input_words.
+
+    Lanes >= input_dim are pinned at a large negative permanence and
+    receive a zero Hebbian delta, so they never connect and never move.
+    """
+    return 8 * input_words(input_dim)
 
 
 def pack_input(bits: jnp.ndarray) -> jnp.ndarray:

@@ -41,8 +41,11 @@ class SPState(struct.PyTreeNode):
     ``duty_cycle`` is the boosting EMA (`regularizations.py:13`).
     """
 
-    permanence: jax.Array   # (C, I) float32 (or int16 quantized units)
-    connected: jax.Array    # (C, ceil(I/8)) uint8 packed bitmask
+    permanence: jax.Array   # (C, I_pad) float32 (or int16 quantized
+                            # units); I_pad = overlap.padded_input_dim —
+                            # lanes >= input_dim are pinned at the
+                            # negative rail and never update
+    connected: jax.Array    # (C, overlap.input_words) uint8 packed
     duty_cycle: jax.Array   # (C,) float32
 
 
@@ -109,13 +112,26 @@ def sp_init(key: jax.Array, cfg: SPConfig) -> SPState:
         * cfg.permanence_std
         + cfg.permanence_mean
     )
-    from .ops.overlap import pack_input
+    from .ops.overlap import pack_input, padded_input_dim
 
+    # physical table is lane-padded (padded_input_dim); padding lanes sit
+    # at the negative rail, get a zero Hebbian delta, and never connect
+    pad = padded_input_dim(cfg.input_dim) - cfg.input_dim
     if cfg.quantized:
         perm = jnp.round(perm / cfg.permanence_quantum).astype(jnp.int16)
         thr = cfg.to_units(cfg.permanence_threshold)
+        if pad:
+            perm = jnp.concatenate(
+                [perm, jnp.full((cfg.column_dim, pad), -32000, jnp.int16)],
+                axis=-1,
+            )
         connected = pack_input(perm >= thr)
     else:
+        if pad:
+            perm = jnp.concatenate(
+                [perm, jnp.full((cfg.column_dim, pad), -1e9, jnp.float32)],
+                axis=-1,
+            )
         connected = pack_input(perm >= cfg.permanence_threshold)
     return SPState(
         permanence=perm,

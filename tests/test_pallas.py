@@ -50,20 +50,23 @@ def test_table_update_kernel_matches_xla():
             -1.0,
         ).astype(np.float32)
         act_prev = (rng.rand(C, G * K) < 0.5) & (syn >= 0)
-        pun = np.repeat(rng.rand(C, G) < 0.3, K, axis=1)
+        pun = rng.rand(C, G) < 0.3
+        pun_word = (pun.astype(np.int32) << np.arange(G)).sum(
+            axis=-1
+        ).astype(np.int32)
         seg_cell = rng.randint(0, D + 1, size=(C, G)).astype(np.int32)
         cols = np.sort(rng.choice(C, A, replace=False)).astype(np.int32)
         rows = rng.rand(A, D) < 0.5
         bits = pack_bits(jnp.asarray(rows))
         ref = table_update_xla(
             jnp.asarray(syn), jnp.asarray(perm), jnp.asarray(act_prev),
-            jnp.asarray(pun), jnp.asarray(cols), bits,
+            jnp.asarray(pun_word), jnp.asarray(cols), bits,
             jnp.asarray(seg_cell), D, 0.03, 0.05, 2, 1,
         )
         got = table_update_tpu(
             jnp.asarray(syn), jnp.asarray(perm), jnp.asarray(act_prev),
-            jnp.asarray(pun), jnp.asarray(cols), bits, D, 0.03, 0.05,
-            block=8, interpret=True,
+            jnp.asarray(pun_word), jnp.asarray(cols), bits, D, K,
+            0.03, 0.05, block=8, interpret=True,
         )
         # kernel covers the fused punish/death/activation/connected part
         # (the counts/prediction tail runs as shared XLA on both paths)
@@ -73,6 +76,48 @@ def test_table_update_kernel_matches_xla():
         np.testing.assert_array_equal(
             np.asarray(got[3]) != 0, conn_ref
         )
+
+
+def test_sp_update_pack_kernel_matches_xla():
+    """Fused SP update+pack kernel vs the XLA fallback in sp_step, both
+    dtypes, interpret mode."""
+    from bithtm_tpu.ops.overlap import pack_input
+    from bithtm_tpu.ops.pallas_kernels import sp_update_pack_tpu
+
+    rng = np.random.RandomState(3)
+    C, I_pad, I = 16, 1024, 1000
+    lane = np.arange(I_pad)
+    x = rng.rand(I) < 0.3
+    cols = np.sort(rng.choice(C, 5, replace=False)).astype(np.int32)
+    active = np.isin(np.arange(C), cols)
+    for quantized in (True, False):
+        if quantized:
+            perm = rng.randint(-200, 200, size=(C, I_pad)).astype(np.int16)
+            perm[:, I:] = -32000
+            delta = np.where(lane < I, np.pad(x, (0, I_pad - I)) * 9 - 3,
+                             0).astype(np.int16)
+            thr = 0
+            ref_perm = np.clip(
+                perm.astype(np.int32) + active[:, None] * delta[None, :],
+                -32000, 32000,
+            ).astype(np.int16)
+        else:
+            perm = (rng.rand(C, I_pad).astype(np.float32) - 0.5) * 0.2
+            perm[:, I:] = -1e9
+            delta = np.where(
+                lane < I, np.pad(x, (0, I_pad - I)) * 0.045 - 0.015, 0.0
+            ).astype(np.float32)
+            thr = 0.0
+            ref_perm = (
+                perm + active[:, None].astype(np.float32) * delta[None, :]
+            ).astype(np.float32)
+        ref_pack = np.asarray(pack_input(jnp.asarray(ref_perm >= thr)))
+        got_perm, got_pack = sp_update_pack_tpu(
+            jnp.asarray(perm), jnp.asarray(delta), jnp.asarray(cols),
+            thr, quantized, block=8, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got_perm), ref_perm)
+        np.testing.assert_array_equal(np.asarray(got_pack), ref_pack)
 
 
 def test_act_conn_kernel_matches_xla():

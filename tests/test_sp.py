@@ -38,8 +38,13 @@ def numpy_sp_step(cfg, perm, duty, x, learning):
 
 
 def test_sp_matches_numpy_trajectory(cfg):
+    # the physical table is lane-padded (overlap.padded_input_dim); the
+    # logical [:, :input_dim] region is the parity contract and the
+    # padding must stay pinned at the rail
+    I = cfg.input_dim
     state = sp_init(jax.random.key(0), cfg)
-    perm = np.asarray(state.permanence, np.float64)
+    pad0 = np.asarray(state.permanence)[:, I:]
+    perm = np.asarray(state.permanence)[:, :I].astype(np.float64)
     duty = np.zeros(cfg.column_dim, np.float32)
     rng = np.random.RandomState(1)
     for t in range(30):
@@ -54,7 +59,10 @@ def test_sp_matches_numpy_trajectory(cfg):
             np.sort(np.asarray(out.active_columns)), active
         )
         np.testing.assert_allclose(
-            np.asarray(state.permanence), perm, atol=1e-5
+            np.asarray(state.permanence)[:, :I], perm, atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state.permanence)[:, I:], pad0
         )
         np.testing.assert_allclose(
             np.asarray(state.duty_cycle), duty, atol=1e-5
@@ -65,7 +73,7 @@ def test_sp_matches_numpy_trajectory(cfg):
             np.asarray(
                 unpack_connected(state.connected, cfg.input_dim)
             ),
-            np.asarray(state.permanence) >= cfg.permanence_threshold,
+            np.asarray(state.permanence)[:, :I] >= cfg.permanence_threshold,
         )
 
 
@@ -105,7 +113,8 @@ def test_quantized_sp_integer_exact_trajectory():
     inc, dec = cfg.to_units(cfg.permanence_increment), \
         cfg.to_units(cfg.permanence_decrement)
     state = sp_init(jax.random.key(5), cfg)
-    perm = np.asarray(state.permanence).astype(np.int64)
+    I = cfg.input_dim
+    perm = np.asarray(state.permanence)[:, :I].astype(np.int64)
     duty = np.zeros(cfg.column_dim, np.float32)
     rng = np.random.RandomState(3)
     for t in range(30):
@@ -127,7 +136,7 @@ def test_quantized_sp_integer_exact_trajectory():
             np.sort(np.asarray(out.active_columns)), active
         )
         np.testing.assert_array_equal(  # bit-exact integer permanences
-            np.asarray(state.permanence).astype(np.int64), perm
+            np.asarray(state.permanence)[:, :I].astype(np.int64), perm
         )
         assert np.asarray(state.permanence).dtype == np.int16
 
@@ -147,10 +156,11 @@ def test_quantized_sp_saturates_instead_of_wrapping():
     state = sp_init(jax.random.key(1), cfg)
     # drive one input bit high for many steps with every column active
     x = jnp.asarray(np.eye(8, dtype=bool)[0])
-    perm0 = np.asarray(state.permanence)
+    I = cfg.input_dim
+    perm0 = np.asarray(state.permanence)[:, :I].astype(np.int64)
     for _ in range(40):
         state, _ = sp_step(cfg, state, x, True)
-    p = np.asarray(state.permanence)
+    p = np.asarray(state.permanence)[:, :I].astype(np.int64)
     assert (p <= 32000).all() and (p >= -32000 + perm0.min()).all()
     # long-run rail: clip, not wraparound (column 0 stays connected)
     state2 = state.replace(
