@@ -51,6 +51,11 @@ def main():
     p.add_argument("--inference", action="store_true",
                    help="serve with learning=False (frozen graph): the "
                         "anomaly-scoring / prediction deployment path")
+    p.add_argument("--detailed_metrics", action="store_true",
+                   help="include the full-table occupancy metrics "
+                        "(tm_pool_occupancy etc.) in every step; off by "
+                        "default — the serving loop keeps the driver "
+                        "observables and drop counters only")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
@@ -91,7 +96,8 @@ def main():
     suffix = "learning" if learn else "inference"
     shape = f"{args.column_dim}x{args.cell_dim}"
     if args.mode == "htm":
-        run = lambda st: htm_scan(cfg, st, seq, learn)
+        run = lambda st: htm_scan(cfg, st, seq, learn,
+                                  detailed_metrics=args.detailed_metrics)
         metric = f"aggregate_timesteps_per_sec_{shape}_{suffix}"
     elif args.mode == "sp":
         # SpatialPooler only: overlap matmul + boosting + top-k + Hebbian

@@ -55,6 +55,7 @@ def htm_step(
     boosting=None,
     inhibition=None,
     temporal_memory=None,
+    detailed_metrics: bool = True,
 ) -> tuple[HTMState, HTMOutput]:
     """One full timestep for a single stream. `learning` and
     `compute_winner` (the reference's `return_winner_cell`,
@@ -79,29 +80,36 @@ def htm_step(
         sp_state, sp_out = sp_step(cfg.sp, state.sp, input_bits, learning,
                                    boosting=boosting, inhibition=inhibition)
     with jax.named_scope("tm"):
-        tm_fn = tm_step if temporal_memory is None else temporal_memory
-        tm_state, tm_out = tm_fn(
-            cfg.tm, state.tm, sub, sp_out.active_columns,
-            learning, compute_winner,
-        )
+        if temporal_memory is None:
+            tm_state, tm_out = tm_step(
+                cfg.tm, state.tm, sub, sp_out.active_columns,
+                learning, compute_winner,
+                detailed_metrics=detailed_metrics,
+            )
+        else:
+            tm_state, tm_out = temporal_memory(
+                cfg.tm, state.tm, sub, sp_out.active_columns,
+                learning, compute_winner,
+            )
     new_state = HTMState(sp=sp_state, tm=tm_state, key=key)
     return new_state, HTMOutput(sp_out, tm_out, _step_metrics(cfg, sp_out, tm_out))
 
 
 def htm_step_batch(cfg, state, input_bits, learning=True,
-                   compute_winner=True):
+                   compute_winner=True, detailed_metrics=True):
     """Batched step: state pytree and inputs carry a leading stream axis.
     Streams are fully independent (pure data parallelism)."""
     return jax.vmap(
-        lambda s, x: htm_step(cfg, s, x, learning, compute_winner)
+        lambda s, x: htm_step(cfg, s, x, learning, compute_winner,
+                              detailed_metrics=detailed_metrics)
     )(state, input_bits)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5),
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6),
                    donate_argnums=(1,))
 def htm_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
              learning: bool = True, unroll: int = 0,
-             compute_winner: bool = True):
+             compute_winner: bool = True, detailed_metrics: bool = True):
     """Scan a [T, ...] (or [T, B, ...] batched) input sequence through the
     recurrence. Carry is donated: the synapse pool updates in place.
 
@@ -136,10 +144,12 @@ def htm_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
     def body(carry, x):
         if batched:
             new_state, out = htm_step_batch(cfg, carry, x, learning,
-                                            compute_winner)
+                                            compute_winner,
+                                            detailed_metrics)
         else:
             new_state, out = htm_step(cfg, carry, x, learning,
-                                      compute_winner)
+                                      compute_winner,
+                                      detailed_metrics=detailed_metrics)
         return new_state, out.metrics
 
     return jax.lax.scan(body, state, inputs, unroll=unroll)

@@ -105,9 +105,11 @@ def _table_kernel(cols_ref, bits_ref, syn_ref, perm_ref, actprev_ref,
     live = syn >= 0
     # act_prev is bf16 0/1; one bf16 `!= 0` is fine, but a SECOND bf16
     # operand compared `!= 0` here trips a Mosaic i1-relayout bug — the
-    # punishment mask therefore rides as an integer bit word.
+    # punishment mask therefore rides as an integer bit word. The word
+    # is carried as u8 when G <= 8 (an s32 (C, 1) operand lane-pads to
+    # 128 and relayout-copies ~0.4 ms/step at B=256; u8 pads 4x less).
     g_lane = jax.lax.broadcasted_iota(jnp.int32, syn.shape, 1) // synapses
-    pen_bit = (pun_ref[:] >> g_lane) & 1
+    pen_bit = (pun_ref[:].astype(jnp.int32) >> g_lane) & 1
     pen = (pen_bit == 1) & (actprev_ref[:] != 0) & live
     perm = perm - jnp.where(pen, jnp.float32(punishment), jnp.float32(0.0))
     dead = live & (perm < 0.0)
@@ -178,7 +180,9 @@ def table_update_tpu(
         interpret=interpret,
     )(cols.reshape(1, A), bits, syn_cell, syn_perm,
       act_prev.astype(jnp.bfloat16),
-      pun_word.reshape(C, 1).astype(jnp.int32))
+      pun_word.reshape(C, 1).astype(
+          jnp.uint8 if J // synapses <= 8 else jnp.int32
+      ))
 
 
 def _sp_kernel(cols_ref, delta_ref, perm_ref, perm_out,
