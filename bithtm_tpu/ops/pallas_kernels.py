@@ -23,6 +23,100 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+BISECT_MIN_ACTIVE = 64  # measured crossover: the 7-gather bisection
+# beats the unrolled chain once A exceeds ~60 compares (chain cost is
+# linear in A, bisection is ~constant); below it the chain pipelines
+# better. See docs/PERFORMANCE.md "Sub-O(A) membership".
+_BISECT_SENTINEL = 2**30
+
+
+def bisect_tables(cols, bits):
+    """Lay the active set out for the in-kernel bisection matcher.
+
+    Sorts (cols, bits) by column id and packs them into one
+    (Rpad, 128) i32 gather table of L*(1+W) rows (sublane-padded to 8):
+
+      row l          lane b   = sorted_col[b*L + l]   (l in [0, L))
+      row L*(1+w)+l  lane b   = bitmask word w of that entry
+
+    L = ceil(A / 128) "probes per bucket"; row 0 doubles as the
+    bisection boundary list (boundary[b] = sorted_col[b*L]). Padding
+    entries get a sentinel column id no real column reaches, so they
+    never match. Bit words ride as i32 (same bits; the kernel's
+    shift-and-mask extract is sign-safe)."""
+    A, W = bits.shape
+    L = (A + 127) // 128
+    P = L * 128
+    ops = [cols.astype(jnp.int32)] + [bits[:, w].astype(jnp.uint32)
+                                      for w in range(W)]
+    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    sc = jnp.concatenate([
+        sorted_ops[0],
+        jnp.full((P - A,), _BISECT_SENTINEL, jnp.int32),
+    ])
+    rows = [sc.reshape(128, L).T]
+    for w in range(W):
+        sw = jnp.concatenate([
+            sorted_ops[1 + w].astype(jnp.int32),
+            jnp.zeros((P - A,), jnp.int32),
+        ])
+        rows.append(sw.reshape(128, L).T)
+    tab = jnp.concatenate(rows, axis=0)
+    R = tab.shape[0]
+    rpad = -R % 8
+    if rpad:
+        tab = jnp.concatenate(
+            [tab, jnp.zeros((rpad, 128), jnp.int32)], axis=0)
+    return tab, L
+
+
+def _match_bits_bisect(tab_ref, col, lo, *, L: int, words: int,
+                       block: int):
+    """Bisection form of `_match_bits`: instead of comparing every
+    element against all A active columns, binary-search the sorted
+    column list with `tpu.dynamic_gather` lane lookups (supported on
+    this target for (rows, 128)-shaped operands — hence the 128-lane
+    chunking). Per element: 7 boundary gathers + L*(1+W) probe gathers,
+    independent of A — measured 2.6x faster than the unrolled chain at
+    A=328 (the 16K x 64 scaled config), slower below ~A=64."""
+    rows = tab_ref[:]
+    J = col.shape[1]
+    if words > 1:
+        w_idx = lo // 32
+    chunks = []
+    for c0 in range(0, J, 128):
+        colc = col[:, c0:c0 + 128]
+        bound = jnp.broadcast_to(rows[0:1, :], (block, 128))
+        b = jnp.zeros((block, 128), jnp.int32)
+        for s in (64, 32, 16, 8, 4, 2, 1):
+            cand = b + s
+            v = jnp.take_along_axis(bound, cand, axis=1)
+            b = jnp.where(v <= colc, cand, b)
+        # (tracking bound[b] through the loop to save the l=0 gather
+        # needs a scalar -> 2D initial value: "Broadcast in both
+        # sublanes and lanes" is unimplemented in Mosaic — not worth it)
+        matched = jnp.zeros((block, 128), jnp.int32)
+        for l in range(L):
+            ent = jnp.take_along_axis(
+                jnp.broadcast_to(rows[l:l + 1, :], (block, 128)),
+                b, axis=1)
+            m = ent == colc
+            word = jnp.take_along_axis(
+                jnp.broadcast_to(rows[L + l:L + l + 1, :], (block, 128)),
+                b, axis=1)
+            for w in range(1, words):
+                r = L * (1 + w) + l
+                word2 = jnp.take_along_axis(
+                    jnp.broadcast_to(rows[r:r + 1, :], (block, 128)),
+                    b, axis=1)
+                word = jnp.where(w_idx[:, c0:c0 + 128] == w, word2, word)
+            matched = matched | jnp.where(m, word, 0)
+        chunks.append(matched)
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks,
+                                                             axis=1)
+    return out.astype(jnp.uint32)
+
+
 def _match_bits(cols_ref, bits_ref, col, lo, num_active: int, words: int):
     """OR-accumulate the matched column's bitmask word per element.
 
@@ -49,29 +143,46 @@ def _match_bits(cols_ref, bits_ref, col, lo, num_active: int, words: int):
     return matched
 
 
-def _act_kernel(cols_ref, bits_ref, syn_ref, act_ref, *, cell_dim: int,
-                num_active: int, words: int):
+def _matched_any(match_refs, col, lo, *, num_active: int, words: int,
+                 bisect_L: int, block: int):
+    """Dispatch to the A-compare chain (match_refs = (cols, bits), the
+    small-A winner) or the bisection gather (match_refs = (tab,), wins
+    past A ~ 64)."""
+    if bisect_L:
+        (tab_ref,) = match_refs
+        return _match_bits_bisect(tab_ref, col, lo, L=bisect_L,
+                                  words=words, block=block)
+    cols_ref, bits_ref = match_refs
+    return _match_bits(cols_ref, bits_ref, col, lo, num_active, words)
+
+
+def _act_kernel(*refs, cell_dim: int, num_active: int, words: int,
+                bisect_L: int, block: int):
+    *match_refs, syn_ref, act_ref = refs
     syn = syn_ref[:]                                  # (Cb, J) int32
     col = syn // cell_dim                             # -1 for free slots
     lo = syn - col * cell_dim
     bitpos = (lo % 32).astype(jnp.uint32)
-    matched = _match_bits(cols_ref, bits_ref, col, lo, num_active, words)
+    matched = _matched_any(match_refs, col, lo, num_active=num_active,
+                           words=words, bisect_L=bisect_L, block=block)
     act = ((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)
     act_ref[:] = act.astype(jnp.bfloat16)  # MXU operand of the count dots
 
 
-def _act_conn_kernel(cols_ref, bits_ref, syn_ref, perm_ref, act_ref,
-                     conn_ref, *, cell_dim: int, num_active: int,
-                     words: int, perm_threshold: float):
+def _act_conn_kernel(*refs, cell_dim: int, num_active: int,
+                     words: int, perm_threshold: float, bisect_L: int,
+                     block: int):
     """Inference-path variant: activation AND connected-activity in one
     pass (the frozen table is read-only, so unlike `_table_kernel` it
     writes no syn/perm back — the connected compare otherwise costs a
     separate XLA pass re-reading the f32 permanence table)."""
+    *match_refs, syn_ref, perm_ref, act_ref, conn_ref = refs
     syn = syn_ref[:]
     col = syn // cell_dim
     lo = syn - col * cell_dim
     bitpos = (lo % 32).astype(jnp.uint32)
-    matched = _match_bits(cols_ref, bits_ref, col, lo, num_active, words)
+    matched = _matched_any(match_refs, col, lo, num_active=num_active,
+                           words=words, bisect_L=bisect_L, block=block)
     act = ((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)
     act_ref[:] = act.astype(jnp.bfloat16)
     conn_ref[:] = (act & (perm_ref[:] >= perm_threshold)).astype(
@@ -79,11 +190,9 @@ def _act_conn_kernel(cols_ref, bits_ref, syn_ref, perm_ref, act_ref,
     )
 
 
-def _table_kernel(cols_ref, bits_ref, syn_ref, perm_ref, actprev_ref,
-                  pun_ref, syn_out, perm_out, act_out, conn_out, *,
-                  cell_dim: int, num_active: int, words: int,
+def _table_kernel(*refs, cell_dim: int, num_active: int, words: int,
                   punishment: float, perm_threshold: float,
-                  synapses: int):
+                  synapses: int, bisect_L: int, block: int):
     """Fused per-tile: punishment decrement + synapse death + active-set
     compare + connected-compare — one HBM read and one write of the
     synapse tables per step instead of separate punish and activation
@@ -100,6 +209,8 @@ def _table_kernel(cols_ref, bits_ref, syn_ref, perm_ref, actprev_ref,
     XLA-side `seg_broadcast` MXU dot materialized a table-sized s32
     intermediate (~1 ms/step at B=256) that this per-lane bit extract
     replaces for free."""
+    (*match_refs, syn_ref, perm_ref, actprev_ref, pun_ref,
+     syn_out, perm_out, act_out, conn_out) = refs
     syn = syn_ref[:]
     perm = perm_ref[:]
     live = syn >= 0
@@ -119,12 +230,32 @@ def _table_kernel(cols_ref, bits_ref, syn_ref, perm_ref, actprev_ref,
     col = syn // cell_dim
     lo = syn - col * cell_dim
     bitpos = (lo % 32).astype(jnp.uint32)
-    matched = _match_bits(cols_ref, bits_ref, col, lo, num_active, words)
+    matched = _matched_any(match_refs, col, lo, num_active=num_active,
+                           words=words, bisect_L=bisect_L, block=block)
     act = ((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)
     syn_out[:] = syn
     perm_out[:] = perm
     act_out[:] = act.astype(jnp.bfloat16)
     conn_out[:] = (act & (perm >= perm_threshold)).astype(jnp.bfloat16)
+
+
+def _matcher_inputs(cols, bits, J: int):
+    """(bisect_L, operand list, BlockSpec list) for the active-set
+    matcher: the bisection gather table when A is past the measured
+    crossover (and the lane axis 128-chunkable), else the SMEM
+    cols/bits pair for the unrolled chain."""
+    A, W = bits.shape
+    if A >= BISECT_MIN_ACTIVE and J % 128 == 0:
+        tab, L = bisect_tables(cols, bits)
+        R = tab.shape[0]
+        spec = pl.BlockSpec((R, 128), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+        return L, [tab], [spec]
+    specs = [
+        pl.BlockSpec((1, A), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((A, W), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    return 0, [cols.reshape(1, A), bits], specs
 
 
 def table_update_tpu(
@@ -149,10 +280,12 @@ def table_update_tpu(
     block = min(block, C)
     assert C % block == 0, (C, block)
 
+    bisect_L, match_ops, match_specs = _matcher_inputs(cols, bits, J)
+    n_match = len(match_ops)
     kernel = functools.partial(
         _table_kernel, cell_dim=cell_dim, num_active=A, words=W,
         punishment=punishment, perm_threshold=perm_threshold,
-        synapses=synapses,
+        synapses=synapses, bisect_L=bisect_L, block=block,
     )
     tile = lambda i: (i, 0)
     big = lambda: pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM)
@@ -166,19 +299,16 @@ def table_update_tpu(
         ),
         grid=(C // block,),
         in_specs=[
-            pl.BlockSpec((1, A), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((A, W), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            *match_specs,
             big(), big(), big(),
             pl.BlockSpec((block, 1), tile, memory_space=pltpu.VMEM),
         ],
         out_specs=(big(), big(), big(), big()),
-        # update the synapse tables in place (operands 2, 3 -> outputs
-        # 0, 1): saves XLA the defensive operand copies
-        input_output_aliases={2: 0, 3: 1},
+        # update the synapse tables in place (syn/perm operands ->
+        # outputs 0, 1): saves XLA the defensive operand copies
+        input_output_aliases={n_match: 0, n_match + 1: 1},
         interpret=interpret,
-    )(cols.reshape(1, A), bits, syn_cell, syn_perm,
+    )(*match_ops, syn_cell, syn_perm,
       act_prev.astype(jnp.bfloat16),
       pun_word.reshape(C, 1).astype(
           jnp.uint8 if J // synapses <= 8 else jnp.int32
@@ -309,25 +439,24 @@ def synapse_activation_tpu(
     block = min(block, C)
     assert C % block == 0, (C, block)
 
+    bisect_L, match_ops, match_specs = _matcher_inputs(cols, bits, J)
     kernel = functools.partial(
-        _act_kernel, cell_dim=cell_dim, num_active=A, words=W
+        _act_kernel, cell_dim=cell_dim, num_active=A, words=W,
+        bisect_L=bisect_L, block=block,
     )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((C, J), jnp.bfloat16),
         grid=(C // block,),
         in_specs=[
-            pl.BlockSpec((1, A), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((A, W), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            *match_specs,
             pl.BlockSpec((block, J), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, J), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(cols.reshape(1, A), bits, syn_cell)
+    )(*match_ops, syn_cell)
 
 
 def synapse_activation_conn_tpu(
@@ -347,9 +476,10 @@ def synapse_activation_conn_tpu(
     block = min(block, C)
     assert C % block == 0, (C, block)
 
+    bisect_L, match_ops, match_specs = _matcher_inputs(cols, bits, J)
     kernel = functools.partial(
         _act_conn_kernel, cell_dim=cell_dim, num_active=A, words=W,
-        perm_threshold=perm_threshold,
+        perm_threshold=perm_threshold, bisect_L=bisect_L, block=block,
     )
     big = lambda: pl.BlockSpec((block, J), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
@@ -360,13 +490,7 @@ def synapse_activation_conn_tpu(
             jax.ShapeDtypeStruct((C, J), jnp.bfloat16),
         ),
         grid=(C // block,),
-        in_specs=[
-            pl.BlockSpec((1, A), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((A, W), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            big(), big(),
-        ],
+        in_specs=[*match_specs, big(), big()],
         out_specs=(big(), big()),
         interpret=interpret,
-    )(cols.reshape(1, A), bits, syn_cell, syn_perm)
+    )(*match_ops, syn_cell, syn_perm)

@@ -32,6 +32,9 @@ def main():
     p.add_argument("--fast", action="store_true",
                    help="throughput preset (G=4/K=64 + int16 SP)")
     p.add_argument("--inference", action="store_true")
+    p.add_argument("--detailed_metrics", action="store_true",
+                   help="include the full-table occupancy metrics (bench.py "
+                        "serves with them off)")
     p.add_argument("--top", type=int, default=28)
     args = p.parse_args()
 
@@ -56,7 +59,8 @@ def main():
     state = htm_init_batch(jax.random.key(0), cfg, B)
     learn = not args.inference
 
-    run = lambda st: htm_scan(cfg, st, seq, learn)
+    run = lambda st: htm_scan(cfg, st, seq, learn,
+                              detailed_metrics=args.detailed_metrics)
     state, m = run(state)  # compile + warm
     _ = float(np.asarray(m["bursting"][-1]).sum())
     jax.block_until_ready(state)

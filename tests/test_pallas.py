@@ -145,3 +145,76 @@ def test_act_conn_kernel_matches_xla():
         np.testing.assert_array_equal(
             np.asarray(conn) != 0, act_ref & (perm >= 0.5)
         )
+
+def test_bisect_matcher_matches_xla():
+    """The bisection-gather matcher (dispatched at A >= BISECT_MIN_ACTIVE
+    with a 128-chunkable lane axis) vs the XLA fallback — covers L=1
+    (A <= 128), L > 1 (A > 128), and both W=1 / W=2 word counts."""
+    from bithtm_tpu.ops.pallas_kernels import (
+        BISECT_MIN_ACTIVE,
+        _matcher_inputs,
+    )
+
+    rng = np.random.RandomState(4)
+    cases = [
+        # (C, D, J, A): L=1 single-word, L=1 two-word, L=2 two-word
+        (1024, 32, 256, 96),
+        (1024, 64, 256, 96),
+        (2048, 64, 384, 200),
+    ]
+    for C, D, J, A in cases:
+        assert A >= BISECT_MIN_ACTIVE and J % 128 == 0
+        N = C * D
+        syn = rng.randint(-1, N, size=(C, J)).astype(np.int32)
+        cols = rng.choice(C, A, replace=False).astype(np.int32)  # unsorted
+        rows = rng.rand(A, D) < 0.5
+        bits = pack_bits(jnp.asarray(rows))
+        bisect_L, _, _ = _matcher_inputs(jnp.asarray(cols), bits, J)
+        assert bisect_L == -(-A // 128), (A, bisect_L)
+        ref = np.asarray(
+            synapse_activation_xla(
+                jnp.asarray(syn), jnp.asarray(cols), bits, D
+            )
+        )
+        got = np.asarray(
+            synapse_activation_tpu(
+                jnp.asarray(syn), jnp.asarray(cols), bits, D,
+                block=128, interpret=True,
+            )
+        ) != 0
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_bisect_table_update_matches_xla():
+    """Full fused table kernel through the bisection matcher branch."""
+    rng = np.random.RandomState(5)
+    C, G, K, A, D = 512, 4, 32, 80, 64
+    J = G * K
+    N = C * D
+    syn = rng.randint(-1, N, size=(C, J)).astype(np.int32)
+    perm = np.where(
+        syn >= 0, rng.rand(C, J).astype(np.float32) * 0.1 - 0.02, -1.0
+    ).astype(np.float32)
+    act_prev = (rng.rand(C, J) < 0.5) & (syn >= 0)
+    pun = rng.rand(C, G) < 0.3
+    pun_word = (pun.astype(np.int32) << np.arange(G)).sum(axis=-1).astype(
+        np.int32
+    )
+    cols = rng.choice(C, A, replace=False).astype(np.int32)
+    rows = rng.rand(A, D) < 0.5
+    bits = pack_bits(jnp.asarray(rows))
+    seg_cell = rng.randint(0, D + 1, size=(C, G)).astype(np.int32)
+    ref = table_update_xla(
+        jnp.asarray(syn), jnp.asarray(perm), jnp.asarray(act_prev),
+        jnp.asarray(pun_word), jnp.asarray(cols), bits,
+        jnp.asarray(seg_cell), D, 0.03, 0.05, 2, 1,
+    )
+    got = table_update_tpu(
+        jnp.asarray(syn), jnp.asarray(perm), jnp.asarray(act_prev),
+        jnp.asarray(pun_word), jnp.asarray(cols), bits, D, K,
+        0.03, 0.05, block=128, interpret=True,
+    )
+    for r, g in zip(ref[:3], got[:3]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+    conn_ref = (np.asarray(ref[2]) != 0) & (np.asarray(ref[1]) >= 0.05)
+    np.testing.assert_array_equal(np.asarray(got[3]) != 0, conn_ref)
