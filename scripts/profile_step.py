@@ -36,6 +36,8 @@ def main():
                    help="include the full-table occupancy metrics (bench.py "
                         "serves with them off)")
     p.add_argument("--top", type=int, default=28)
+    p.add_argument("--dump", type=str, default="",
+                   help="write ALL per-instance rows (tsv) to this path")
     args = p.parse_args()
 
     import jax
@@ -132,6 +134,11 @@ def main():
     print("\n# top instances (with HLO metadata):")
     for name, d in sorted(inst.items(), key=lambda kv: -kv[1])[: args.top]:
         print(f"{d / T:8.3f} ms/step  {name[:40]:40s} {meta.get(name, '')[:140]}")
+    if args.dump:
+        with open(args.dump, "w") as f:
+            for name, d in sorted(inst.items(), key=lambda kv: -kv[1]):
+                f.write(f"{d / T:.4f}\t{name}\t{meta.get(name, '')[:400]}\n")
+        print(f"# dumped {len(inst)} instances to {args.dump}")
 
 
 if __name__ == "__main__":
