@@ -78,10 +78,13 @@ def _pallas_block(rows: int, row_bytes: int) -> int:
     dividing the column count — pick a column_dim divisible by 8 to
     stay on the fast path)."""
     # budget for ONE synapse tile: the pipeline holds ~2x(in+out) tiles
-    # plus the u32 accumulator, so keep the tile well under the 16MB
-    # VMEM. 2MB (-> 256-row blocks at the default J=384) measured ~same
-    # as 512-row and much better than 128-row blocks.
-    budget = 2 * 1024 * 1024
+    # plus the u32 accumulator. Swept on-device (round 3, B=256): small
+    # tiles double-buffer better — J=384 runs 6% faster at block=64 than
+    # 256, J=256 2% faster at 128 than 512; a ~384KB per-tile budget
+    # lands both on their measured best (the round-2 2MB budget was
+    # swept only across 128/256/512 at J=384 with the old per-tile
+    # shapes and picked 256).
+    budget = 384 * 1024
     b = 512
     while b >= 8:
         if rows % b == 0 and b * row_bytes <= budget:
