@@ -55,6 +55,8 @@ from ..ops.active_set import (
     pack_bits,
     percell_max,
     percell_sum,
+    prediction_dense,
+    prediction_words,
     rank_ascending,
     seg_reduce_counts,
     synapse_activation_conn,
@@ -71,7 +73,9 @@ class TMOutput(NamedTuple):
 
     active_mask: jnp.ndarray      # (N,) bool
     winner_mask: jnp.ndarray      # (N,) bool
-    prediction: jnp.ndarray       # (N,) bool (for the *next* step)
+    prediction: jnp.ndarray       # (N,) bool (for the *next* step;
+                                  #   unpacked from the packed carry —
+                                  #   XLA fuses/DCEs it when unused)
     prev_prediction: jnp.ndarray  # (N,) bool (this step's input prediction)
     bursting_columns: jnp.ndarray # (C,) bool
     metrics: dict
@@ -489,8 +493,11 @@ def tm_step(
     active_cols = jnp.sort(active_cols.astype(jnp.int32))
     k_select, k_grow = jax.random.split(key)
 
-    prev_prediction = state.prediction                         # (C, D)
-    pred_rows = prev_prediction[active_cols]                   # (A, D)
+    prev_prediction = state.prediction                         # (W, C) packed
+    pred_rows = unpack_bits(
+        jnp.swapaxes(jnp.take(prev_prediction, active_cols, axis=-1),
+                     -1, -2), D
+    )                                                          # (A, D)
     col_active = column_mask_from_cols(active_cols, C)         # (C,)
 
     if learning or compute_winner:
@@ -562,7 +569,7 @@ def tm_step(
         seg_active = matching & (
             connected >= cfg.segment_activation_threshold
         )
-        prediction = percell_max(seg_cell, seg_active, D, False)
+        prediction = prediction_words(seg_cell, seg_active, D)
 
     new_state = TMState(
         synapse_cell=syn_full,
@@ -600,15 +607,17 @@ def tm_step(
     }
     if detailed_metrics:
         metrics.update(
-            tm_predicted_cells=prediction.sum(dtype=jnp.int32),
+            tm_predicted_cells=jnp.sum(
+                jax.lax.population_count(prediction), dtype=jnp.int32
+            ),
             tm_matching_segments=matching.sum(dtype=jnp.int32),
             tm_pool_occupancy=(seg_cell < D).sum(dtype=jnp.int32),
         )
     out = TMOutput(
         active_mask=active_mask,
         winner_mask=winner_mask,
-        prediction=prediction.reshape(N),
-        prev_prediction=prev_prediction.reshape(N),
+        prediction=prediction_dense(prediction, D).reshape(N),
+        prev_prediction=prediction_dense(prev_prediction, D).reshape(N),
         bursting_columns=bursting_full,
         metrics=metrics,
     )

@@ -54,6 +54,51 @@ def unpack_bits(bits: jnp.ndarray, cell_dim: int) -> jnp.ndarray:
     return flat[..., :cell_dim].astype(jnp.bool_)
 
 
+def prediction_words(seg_cell: jnp.ndarray, seg_active: jnp.ndarray,
+                     cell_dim: int) -> jnp.ndarray:
+    """(..., C, G) owner cells + active flags -> (..., W, C) uint32
+    packed per-cell prediction: bit d of word [..., w, c] set iff some
+    active segment of column c is owned by cell w*32 + d.
+
+    This is the producer of the `TMState.prediction` carry. Packing
+    directly from the G axis skips the (..., G, D) one-hot intermediate
+    of `percell_max`, and the word-major (W, C) layout keeps the
+    128-lane axis on C — the dense (C, D) bool carry it replaces
+    materialized with a transposed layout and cost ~0.4 ms/step of
+    scan-carry copies at B=256. The sentinel owner (seg_cell ==
+    cell_dim, unallocated) never lands in a word range."""
+    W = cell_words(cell_dim)
+    G = seg_cell.shape[-1]
+    words = []
+    for w in range(W):
+        upper = min(32 * (w + 1), cell_dim)
+        in_w = seg_active & (seg_cell >= 32 * w) & (seg_cell < upper)
+        sft = jnp.clip(seg_cell - 32 * w, 0, 31).astype(jnp.uint32)
+        bit = jnp.where(in_w, jnp.uint32(1) << sft, jnp.uint32(0))
+        acc = bit[..., 0]
+        for g in range(1, G):
+            acc = acc | bit[..., g]
+        words.append(acc)
+    return jnp.stack(words, axis=-2)
+
+
+def prediction_dense(pred_words: jnp.ndarray, cell_dim: int) -> jnp.ndarray:
+    """(..., W, C) packed prediction -> (..., C, D) dense bool."""
+    return unpack_bits(jnp.swapaxes(pred_words, -1, -2), cell_dim)
+
+
+def prediction_dense_host(pred_words, cell_dim: int):
+    """NumPy form of `prediction_dense` for host-side readers (the
+    oracle bridge must not launch device work on the tunnel backend)."""
+    import numpy as np
+
+    words = np.asarray(pred_words)                     # (..., W, C)
+    d = np.arange(cell_dim)
+    sel = np.take(words, d // 32, axis=-2)             # (..., D, C)
+    dense = (sel >> (d % 32)[..., :, None]) & 1
+    return np.swapaxes(dense, -1, -2).astype(bool)     # (..., C, D)
+
+
 def dense_from_compact(cols: jnp.ndarray, bits: jnp.ndarray,
                        column_dim: int, cell_dim: int) -> jnp.ndarray:
     """Compact (cols, bits) -> dense (C, D) bool mask (for outputs/tests)."""
@@ -227,7 +272,7 @@ def table_update_xla(syn_cell, syn_perm, act_prev, pun_word, cols, bits,
     accumulation is f32).
 
     Returns (syn', perm', act_now bf16, potential, matching, seg_active,
-    prediction)."""
+    prediction packed (W, C) uint32 — see `prediction_words`)."""
     G = seg_cell.shape[1]
     K = syn_cell.shape[1] // G
     live = syn_cell >= 0
@@ -246,7 +291,7 @@ def table_update_xla(syn_cell, syn_perm, act_prev, pun_word, cols, bits,
     connected = seg_reduce_counts(conn, G, K)
     matching = potential >= matching_threshold
     seg_active = matching & (connected >= activation_threshold)
-    prediction = percell_max(seg_cell, seg_active, cell_dim, False)
+    prediction = prediction_words(seg_cell, seg_active, cell_dim)
     return syn, perm, act, potential, matching, seg_active, prediction
 
 
@@ -281,7 +326,7 @@ def table_update(syn_cell, syn_perm, act_prev, pun_word, cols, bits,
             connected = seg_reduce_counts(conn, G, K)
             matching = potential >= matching_threshold
             seg_active = matching & (connected >= activation_threshold)
-            prediction = percell_max(seg_cell, seg_active, cell_dim, False)
+            prediction = prediction_words(seg_cell, seg_active, cell_dim)
             return syn, perm, act, potential, matching, seg_active, prediction
     return table_update_xla(syn_cell, syn_perm, act_prev, pun_word, cols,
                             bits, seg_cell, cell_dim, punishment,

@@ -441,7 +441,9 @@ class OracleTM:
             bits_to_set(tm_state.active_cols, tm_state.winner_bits),
             self.winner_cells,
         )
-        pred = np.asarray(tm_state.prediction).reshape(-1)
+        from ..ops.active_set import prediction_dense_host
+
+        pred = prediction_dense_host(tm_state.prediction, D).reshape(-1)
         check_set(
             "prediction",
             set(int(i) for i in np.nonzero(pred)[0]),

@@ -79,8 +79,12 @@ def oracle_from_state(cfg, tm_state) -> OracleTM:
     o.winner_cells = bits_to_cell_set(
         tm_state.active_cols, tm_state.winner_bits, D
     )
+    from ..ops.active_set import prediction_dense_host
+
     o.predicted_cells = set(
-        np.nonzero(np.asarray(tm_state.prediction).reshape(-1))[0].tolist()
+        np.nonzero(
+            prediction_dense_host(tm_state.prediction, D).reshape(-1)
+        )[0].tolist()
     )
     o.potential = np.asarray(tm_state.segment_potential).reshape(-1).tolist()
     o.matching = set(

@@ -63,7 +63,7 @@ def batched_state_specs(state: HTMState) -> HTMState:
         active_bits=P(d),             # (B, A, W)
         winner_bits=P(d),             # (B, A, W)
         synapse_act=P(d, m),          # (B, C, G*K)
-        prediction=P(d, m),           # (B, C, D)
+        prediction=P(d, None, m),     # (B, W, C) packed, C on model
         segment_potential=P(d, m),    # (B, C, G)
         segment_matching=P(d, m),
         segment_active=P(d, m),

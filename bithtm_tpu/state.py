@@ -71,7 +71,12 @@ class TMState(struct.PyTreeNode):
         halves the number of full-table activation passes per step.
         bf16 (not bool) because it doubles as an MXU operand of the
         per-segment count dots (see `ops/pallas_kernels._table_kernel`).
-      prediction:  (C, D) bool    cell predictive state for next step
+      prediction:  (W, C) uint32  packed cell predictive state for the
+        next step (bit d of word [w, c] = cell w*32+d of column c
+        predictive; see `ops.active_set.prediction_words`). Word-major
+        so the 128-lane axis stays on C — the dense (C, D) bool carry
+        cost ~0.4 ms/step of transposed-layout scan-carry copies at
+        B=256.
       segment_potential: (C, G) int32  potential-synapse counts
       segment_matching:  (C, G) bool   potential >= matching_threshold
       segment_active:    (C, G) bool   connected-active >= activation_thr
@@ -154,7 +159,7 @@ def tm_init(cfg: TMConfig) -> TMState:
         active_bits=jnp.zeros((A, W), jnp.uint32),
         winner_bits=jnp.zeros((A, W), jnp.uint32),
         synapse_act=jnp.zeros((C, G * K), jnp.bfloat16),
-        prediction=jnp.zeros((C, D), jnp.bool_),
+        prediction=jnp.zeros((W, C), jnp.uint32),
         segment_potential=jnp.zeros((C, G), jnp.int32),
         segment_matching=jnp.zeros((C, G), jnp.bool_),
         segment_active=jnp.zeros((C, G), jnp.bool_),

@@ -93,7 +93,8 @@ def run_window(carry, cols_seq):
         # fraction of the upcoming columns already predicted (recovery
         # signal when the upcoming set is S)
         pred = jax.vmap(
-            lambda t, cc: t.prediction[cc].any(-1).sum(dtype=jnp.int32)
+            lambda t, cc: (t.prediction[:, cc] != 0).any(0)
+            .sum(dtype=jnp.int32)
         )(tm, cols)
         new_tm, out = jax.vmap(
             lambda t, k, cc: tm_step(cfg, t, k, cc, learning=True,

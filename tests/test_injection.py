@@ -107,9 +107,11 @@ def test_pallas_fallback_warns_once():
     # eligible shapes never warn
     with warnings.catch_warnings():
         warnings.simplefilter("error")
-        assert active_set._pallas_block(2048, 1536) == 512
-        # the fused table-update tile (12B/slot) lands on 256-row blocks
-        assert active_set._pallas_block(2048, 4608) == 256
+        # 384KB per-tile budget (see _pallas_block): 256*1536 lands
+        # exactly on it; the fused table-update tile (12B/slot at
+        # J=384) drops to 64-row blocks
+        assert active_set._pallas_block(2048, 1536) == 256
+        assert active_set._pallas_block(2048, 4608) == 64
 
 
 def test_htm_scan_rejects_unbatched_inputs_with_batched_state():

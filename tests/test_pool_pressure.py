@@ -34,6 +34,7 @@ import numpy as np
 
 from bithtm_tpu import TMConfig, tm_init
 from bithtm_tpu.models.temporal_memory import tm_step
+from bithtm_tpu.ops.active_set import prediction_dense_host
 
 
 def _run_contexts(n_ctx: int, G: int, epochs: int = 40,
@@ -66,7 +67,8 @@ def _run_contexts(n_ctx: int, G: int, epochs: int = 40,
         for i in range(n_ctx):
             key, k1, k2 = jax.random.split(key, 3)
             state, o1 = step(state, k1, jnp.asarray(ctxs[i]), learning=True)
-            pred_before = np.asarray(state.prediction)  # (C, D)
+            pred_before = prediction_dense_host(state.prediction,
+                                                cfg.cell_dim)  # (C, D)
             state, o2 = step(state, k2, jnp.asarray(shared),
                              learning=True)
             m1, m2 = jax.device_get((o1.metrics, o2.metrics))
