@@ -107,12 +107,22 @@ def _winner_selection(cfg: TMConfig, state: TMState, key: jax.Array,
                          learning phase, `projections.py:241-243`)
     """
     A, D, G = cfg.active_columns, cfg.cell_dim, cfg.segments_per_column
+    K = cfg.synapse_capacity
     k_seg, k_least = jax.random.split(key)
 
     col_burst = ~pred_rows.any(axis=-1)                       # (A,)
 
-    pot_rows = state.segment_potential[active_cols]           # (A, G)
-    match_rows = state.segment_matching[active_cols]          # (A, G)
+    # Per-segment potential / matching at the active rows, re-derived
+    # from the cached forward activity (the table is unchanged since
+    # the previous step's forward pass, so these equal the values that
+    # step computed — `utils.checks` audits exactly this invariant).
+    # Re-deriving from the (A, G, K) row gather beats carrying (C, G)
+    # arrays whose minor axis tile-pads 16-32x.
+    act_rows_tbl = (
+        state.synapse_act[active_cols].reshape(A, G, K) != 0
+    )                                                         # (A, G, K)
+    pot_rows = act_rows_tbl.sum(-1, dtype=jnp.int32)          # (A, G)
+    match_rows = pot_rows >= cfg.segment_matching_threshold
     segcell_rows = state.seg_cell[active_cols]                # (A, G)
 
     # Jittered max matching potential per cell (networks.py:73-82).
@@ -378,12 +388,22 @@ def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
 
     # --- learning-segment set in active-column row space
     # (projections.py:264-268)
-    match_rows = state.segment_matching[active_cols]            # (A, G)
-    active_seg_rows = state.segment_active[active_cols]
     segcell_rows = state.seg_cell[active_cols]
     syn_rows = syn_flat[active_cols].reshape(-1, G, K)          # (A, G, K)
     perm_rows = perm_flat[active_cols].reshape(-1, G, K)
     act_prev_rows = act_prev[active_cols].reshape(-1, G, K) != 0
+    # matching / active flags re-derived at the rows from the cached
+    # activity + unmutated permanences (bit-equal to what the previous
+    # step's forward pass computed; jit CSE shares the row gathers with
+    # `_winner_selection`)
+    pot_rows = act_prev_rows.sum(-1, dtype=jnp.int32)           # (A, G)
+    match_rows = pot_rows >= cfg.segment_matching_threshold
+    conn_rows = (
+        act_prev_rows & (perm_rows >= cfg.permanence_threshold)
+    ).sum(-1, dtype=jnp.int32)
+    active_seg_rows = match_rows & (
+        conn_rows >= cfg.segment_activation_threshold
+    )
 
     owner_pred = take_percell(pred_rows, segcell_rows, D, False)
     owner_winner = take_percell(winner_rows, segcell_rows, D, False)
@@ -525,16 +545,16 @@ def tm_step(
         # (projections.py:269,290-293), fused with the forward
         # activation pass into one full-table kernel (disjoint from the
         # active-column rows _learn just wrote).
-        punished = (
-            state.segment_matching & ~col_active[:, None] & (state.step > 0)
-        )                                                      # (C, G)
-        # (C,) i32 bitmask word, bit g = punished[c, g]: the kernel (or
-        # XLA fallback) extracts the per-lane bit, replacing a
-        # table-sized seg_broadcast materialization
-        pun_word = jnp.sum(
-            punished.astype(jnp.int32)
-            << jnp.arange(G, dtype=jnp.int32)[None, :],
-            axis=-1, dtype=jnp.int32,
+        # (C,) i32 bitmask word, bit g = punished[c, g]: the previous
+        # step's matching flags arrive already packed in the carried
+        # matching_word; masking out active columns (and step 0) is a
+        # (C,)-wide select. The kernel (or XLA fallback) extracts the
+        # per-lane bit, replacing a table-sized seg_broadcast
+        # materialization.
+        pun_word = jnp.where(
+            col_active | (state.step <= 0),
+            0,
+            state.matching_word,
         )
         # the fused full-table pass: punish + death + activation +
         # per-segment counts + prediction (networks.py:121-122,
@@ -548,10 +568,13 @@ def tm_step(
             cfg.segment_activation_threshold,
         )
         if detailed_metrics:
-            learn_metrics["tm_punished_segments"] = punished.sum(
-                dtype=jnp.int32
+            learn_metrics["tm_punished_segments"] = jnp.sum(
+                jax.lax.population_count(pun_word), dtype=jnp.int32
             )
-        debug["punished_segments"] = punished
+        debug["punished_segments"] = (
+            (pun_word[:, None] >> jnp.arange(G, dtype=jnp.int32)[None, :])
+            & 1
+        ) != 0
     else:
         # inference: tables are frozen, only the forward pass runs
         # (networks.py:121-122, projections.py:245-255)
@@ -580,9 +603,11 @@ def tm_step(
         winner_bits=pack_bits(winner_rows),
         synapse_act=act_now,
         prediction=prediction,
-        segment_potential=potential,
-        segment_matching=matching,
-        segment_active=seg_active,
+        matching_word=jnp.sum(
+            matching.astype(jnp.int32)
+            << jnp.arange(G, dtype=jnp.int32)[None, :],
+            axis=-1, dtype=jnp.int32,
+        ),
         step=state.step + 1,
     )
 

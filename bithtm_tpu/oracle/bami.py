@@ -449,19 +449,37 @@ class OracleTM:
             set(int(i) for i in np.nonzero(pred)[0]),
             self.predicted_cells,
         )
-        match = np.asarray(tm_state.segment_matching).reshape(-1)
+        # per-segment forward state: matching comes from the carried
+        # packed word; potential / active are re-derived from the cached
+        # activity + permanences (the same derivation the JAX step uses
+        # at its active rows) — still a real check of the JAX-computed
+        # activation against the oracle's tracking
+        act_cgk = (np.asarray(tm_state.synapse_act) != 0).reshape(
+            cell_tab.shape
+        )
+        pot_cg = act_cgk.sum(-1)                       # (C, G)
+        conn_cg = (
+            act_cgk & (perm_tab >= self.cfg.permanence_threshold)
+        ).sum(-1)
+        match = (
+            ((np.asarray(tm_state.matching_word)[:, None]
+              >> np.arange(G)) & 1) != 0
+        ).reshape(-1)
         check_set(
             "matching",
             set(int(i) for i in np.nonzero(match)[0]),
             self.matching,
         )
-        seg_act = np.asarray(tm_state.segment_active).reshape(-1)
+        seg_act = (
+            match.reshape(pot_cg.shape)
+            & (conn_cg >= self.cfg.segment_activation_threshold)
+        ).reshape(-1)
         check_set(
             "active_segments",
             set(int(i) for i in np.nonzero(seg_act)[0]),
             self.active_segments,
         )
-        pot = np.asarray(tm_state.segment_potential).reshape(-1)
+        pot = pot_cg.reshape(-1)
         for s in range(self.S):
             if self.owner[s] is not None and pot[s] != self.potential[s]:
                 raise ParityError(

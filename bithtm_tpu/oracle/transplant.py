@@ -86,14 +86,17 @@ def oracle_from_state(cfg, tm_state) -> OracleTM:
             prediction_dense_host(tm_state.prediction, D).reshape(-1)
         )[0].tolist()
     )
-    o.potential = np.asarray(tm_state.segment_potential).reshape(-1).tolist()
-    o.matching = set(
-        np.nonzero(np.asarray(tm_state.segment_matching).reshape(-1))[0]
-        .tolist()
-    )
-    o.active_segments = set(
-        np.nonzero(np.asarray(tm_state.segment_active).reshape(-1))[0]
-        .tolist()
-    )
+    # per-segment forward state re-derived from the cached activity +
+    # permanences (the step no longer carries (C, G) flag arrays; the
+    # carried matching_word packs the matching bits — audited against
+    # this same derivation by `utils.checks`)
+    act = (np.asarray(tm_state.synapse_act) != 0).reshape(C, G, K)
+    pot = act.sum(-1)                                      # (C, G)
+    conn = (act & (perm_tab >= cfg.permanence_threshold)).sum(-1)
+    matching = pot >= cfg.segment_matching_threshold
+    seg_active = matching & (conn >= cfg.segment_activation_threshold)
+    o.potential = pot.reshape(-1).tolist()
+    o.matching = set(np.nonzero(matching.reshape(-1))[0].tolist())
+    o.active_segments = set(np.nonzero(seg_active.reshape(-1))[0].tolist())
     o.step_count = int(np.asarray(tm_state.step))
     return o

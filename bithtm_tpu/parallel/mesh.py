@@ -64,9 +64,7 @@ def batched_state_specs(state: HTMState) -> HTMState:
         winner_bits=P(d),             # (B, A, W)
         synapse_act=P(d, m),          # (B, C, G*K)
         prediction=P(d, None, m),     # (B, W, C) packed, C on model
-        segment_potential=P(d, m),    # (B, C, G)
-        segment_matching=P(d, m),
-        segment_active=P(d, m),
+        matching_word=P(d, m),        # (B, C) packed flag word
         step=P(d),
     )
     return HTMState(sp=sp, tm=tm, key=P(d))

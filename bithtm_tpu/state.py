@@ -77,9 +77,15 @@ class TMState(struct.PyTreeNode):
         so the 128-lane axis stays on C — the dense (C, D) bool carry
         cost ~0.4 ms/step of transposed-layout scan-carry copies at
         B=256.
-      segment_potential: (C, G) int32  potential-synapse counts
-      segment_matching:  (C, G) bool   potential >= matching_threshold
-      segment_active:    (C, G) bool   connected-active >= activation_thr
+      matching_word: (C,) int32  bit g = segment g matching (potential
+        >= matching_threshold) — the only cross-step full-C flag the
+        next step needs (the punishment set). Per-segment potential /
+        matching / active values are NOT carried: the next step
+        re-derives them at its A active rows from `synapse_act` and
+        `synapse_perm` (both unchanged between a step's forward pass
+        and the next step's learning phase), which drops three
+        (C, G)-shaped carries whose 4-8/128-lane minor axis tile-padded
+        16-32x physically.
       step: () int32  timestep counter; step 0 has no previous distal
         state, so learning is skipped exactly like the reference's
         `update(prev_state=None)` early-return (`projections.py:258-259`).
@@ -94,9 +100,7 @@ class TMState(struct.PyTreeNode):
     winner_bits: jax.Array
     synapse_act: jax.Array
     prediction: jax.Array
-    segment_potential: jax.Array
-    segment_matching: jax.Array
-    segment_active: jax.Array
+    matching_word: jax.Array
     step: jax.Array
 
 
@@ -160,9 +164,7 @@ def tm_init(cfg: TMConfig) -> TMState:
         winner_bits=jnp.zeros((A, W), jnp.uint32),
         synapse_act=jnp.zeros((C, G * K), jnp.bfloat16),
         prediction=jnp.zeros((W, C), jnp.uint32),
-        segment_potential=jnp.zeros((C, G), jnp.int32),
-        segment_matching=jnp.zeros((C, G), jnp.bool_),
-        segment_active=jnp.zeros((C, G), jnp.bool_),
+        matching_word=jnp.zeros((C,), jnp.int32),
         step=jnp.zeros((), jnp.int32),
     )
 

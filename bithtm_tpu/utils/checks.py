@@ -50,20 +50,33 @@ def validate_tm_state(cfg, tm) -> None:
         targets = syn[c, g][live[c, g]]
         if len(np.unique(targets)) != len(targets):
             fail(f"duplicate synapse targets in segment ({c},{g})")
-    # cached forward state consistent with the tables
-    pot = np.asarray(tm.segment_potential)
-    act = (np.asarray(tm.synapse_act) != 0).reshape(C, G, K)
-    if not (act.sum(-1) == pot).all():
-        fail("segment_potential inconsistent with cached synapse_act")
-    match = np.asarray(tm.segment_matching)
-    if not (match == (pot >= cfg.segment_matching_threshold)).all():
-        fail("segment_matching inconsistent with potential")
     # compact active set: column ids in range, sorted
     cols = np.asarray(tm.active_cols)
     if not ((cols >= 0) & (cols < C)).all():
         fail("active_cols out of range")
     if not (np.diff(cols) >= 0).all():
         fail("active_cols not sorted")
+    # cached forward activity must equal the post-step table's
+    # activation wrt the carried compact active set — a per-entry
+    # re-derivation (stronger than the old carried-count cross-check)
+    bits = np.asarray(tm.active_bits)                  # (A, W)
+    d = np.arange(D)
+    rows = (bits[:, d // 32] >> (d % 32)) & 1          # (A, D)
+    dense = np.zeros((C, D), bool)
+    dense[cols] = rows != 0
+    active_cell = dense.reshape(-1)                    # (N,)
+    act = (np.asarray(tm.synapse_act) != 0).reshape(C, G, K)
+    expect_act = live & active_cell[np.clip(syn, 0, N - 1)]
+    if not (act == expect_act).all():
+        fail("synapse_act inconsistent with the table + active set")
+    # the carried matching_word must equal the flags derived from that
+    # activity (the same derivation the step uses at its active rows)
+    pot = act.sum(-1)
+    match = (
+        (np.asarray(tm.matching_word)[:, None] >> np.arange(G)) & 1
+    ) != 0
+    if not (match == (pot >= cfg.segment_matching_threshold)).all():
+        fail("matching_word inconsistent with cached synapse_act")
 
 
 def validate_state(cfg, state) -> None:
