@@ -31,8 +31,7 @@ def _step_metrics(cfg: HTMConfig, sp_out: SPOutput, tm_out: TMOutput) -> dict:
     """The driver-loop metrics of `example.py:50-57`: correct columns =
     previously-predicted columns that became active; incorrect = the rest
     of the previously-predicted; plus the standard HTM anomaly score."""
-    C, D = cfg.column_dim, cfg.cell_dim
-    prev_col_pred = tm_out.prev_prediction.reshape(C, D).any(axis=1)
+    prev_col_pred = tm_out.prev_col_prediction          # (C,) packed-native
     corrects = (prev_col_pred & sp_out.active_mask).sum(dtype=jnp.int32)
     incorrects = prev_col_pred.sum(dtype=jnp.int32) - corrects
     burstings = tm_out.bursting_columns.sum(dtype=jnp.int32)

@@ -77,6 +77,11 @@ class TMOutput(NamedTuple):
                                   #   unpacked from the packed carry —
                                   #   XLA fuses/DCEs it when unused)
     prev_prediction: jnp.ndarray  # (N,) bool (this step's input prediction)
+    prev_col_prediction: jnp.ndarray  # (C,) bool any-cell-predicted, read
+                                  #   straight off the packed carry (the
+                                  #   driver metrics' hot consumer — the
+                                  #   dense (N,) forms relayout-transpose
+                                  #   when materialized in the scan)
     bursting_columns: jnp.ndarray # (C,) bool
     metrics: dict
 
@@ -643,6 +648,7 @@ def tm_step(
         winner_mask=winner_mask,
         prediction=prediction_dense(prediction, D).reshape(N),
         prev_prediction=prediction_dense(prev_prediction, D).reshape(N),
+        prev_col_prediction=(prev_prediction != 0).any(axis=-2),
         bursting_columns=bursting_full,
         metrics=metrics,
     )
