@@ -33,6 +33,7 @@ from .state import (
 from .models.htm import HTMOutput, htm_scan, htm_step, htm_step_batch
 from .models.spatial_pooler import SPOutput, sp_step
 from .models.temporal_memory import TMOutput, tm_step
+from .host_hooks import HostTemporalMemory
 from .networks import HierarchicalTemporalMemory, SpatialPooler, TemporalMemory
 from .encoders import (
     CategoryEncoder,
@@ -67,6 +68,7 @@ __all__ = [
     "htm_step", "htm_step_batch", "htm_scan", "HTMOutput",
     "sp_step", "SPOutput", "tm_step", "TMOutput",
     "HierarchicalTemporalMemory", "SpatialPooler", "TemporalMemory",
+    "HostTemporalMemory",
     "ScalarEncoder", "CyclicEncoder", "CategoryEncoder", "DateTimeEncoder",
     "anomaly_likelihood_init",
     "anomaly_likelihood_update",

@@ -68,6 +68,11 @@ def htm_step(
 
       temporal_memory(tm_cfg, tm_state, key, active_cols,
                       learning, compute_winner) -> (tm_state, TMOutput)
+
+    The hook must trace under jit; to substitute *non-jittable* host
+    code (the reference's pure-Python swap), wrap it in
+    `host_hooks.HostTemporalMemory`, which routes through an ordered
+    `io_callback`.
     """
     if input_bits.shape != (cfg.input_dim,):
         raise ValueError(

@@ -109,7 +109,9 @@ class HierarchicalTemporalMemory:
     hooks, mirroring the reference's constructor injection
     (`networks.py:134,144` — its example swaps in the oracle TM through
     `temporal_memory=`, `example.py:7-12`). See `htm_step` for the hook
-    signatures; hooks must be hashable jit-traceable callables."""
+    signatures; hooks must be hashable jit-traceable callables — for
+    non-jittable host code (a NumPy TM, like the reference's example
+    swap), wrap it in `HostTemporalMemory` (see `host_hooks`)."""
 
     def __init__(self, input_dim, column_dim, cell_dim, active_columns=None,
                  seed=0, boosting=None, inhibition=None,

@@ -125,3 +125,58 @@ def test_htm_scan_rejects_unbatched_inputs_with_batched_state():
     seq = jnp.zeros((3, cfg.input_dim), jnp.bool_)
     with pytest.raises(ValueError, match="single-stream state"):
         htm_scan(cfg, state, seq, True)
+
+
+def test_host_temporal_memory_substitution():
+    """A pure-NumPy, non-jittable TM rides the jitted composition root —
+    the reference's `temporal_memory=` swap of a host Python class
+    (`/root/reference/example.py:7-12` via `networks.py:134,144`). The
+    host TM keeps its own mutable state (a transition dict); SP,
+    driver metrics, and jit stay on the compiled path."""
+    import numpy as np
+
+    from bithtm_tpu import HierarchicalTemporalMemory, HostTemporalMemory
+
+    C, D = 64, 4
+    N = C * D
+    transitions = {}
+    last_cols = [None]
+
+    def numpy_tm(active_cols, learning):
+        # first-order sequence memory: remember column-set transitions,
+        # activate/win cell 0 of each active column, predict the learned
+        # successor set
+        cols = tuple(sorted(int(c) for c in active_cols))
+        active = np.zeros(N, bool)
+        winner = np.zeros(N, bool)
+        for c in cols:
+            active[c * D] = True
+            winner[c * D] = True
+        if learning and last_cols[0] is not None:
+            transitions[last_cols[0]] = cols
+        pred = np.zeros(N, bool)
+        for c in transitions.get(cols, ()):
+            pred[c * D] = True
+        last_cols[0] = cols
+        return active, winner, pred
+
+    htm = HierarchicalTemporalMemory(
+        128, C, D, active_columns=4,
+        temporal_memory=HostTemporalMemory(numpy_tm),
+    )
+    rng = np.random.RandomState(0)
+    pats = rng.rand(4, 128) < 0.15
+    per_epoch = []
+    for _ in range(4):
+        corrects = burstings = 0
+        for p in pats:
+            htm.process(p)
+            corrects += int(htm.last_metrics["correct"])
+            burstings += int(htm.last_metrics["bursting"])
+        per_epoch.append((corrects, burstings))
+    # the host dict learns the cycle: corrects rise toward 4 cols x 4
+    # steps, bursting falls (epoch 1 is all-bursting: empty dict)
+    assert per_epoch[0][1] == 16
+    assert per_epoch[-1][0] > per_epoch[0][0]
+    assert per_epoch[-1][1] < per_epoch[0][1]
+    assert transitions  # the host-side state really mutated under jit
