@@ -591,8 +591,10 @@ def tm_step(
             syn_full, perm_full, active_cols, act_bits, D,
             cfg.permanence_threshold,
         )
-        potential = seg_reduce_counts(act_now, G, K)           # (C, G)
-        connected = seg_reduce_counts(conn_now, G, K)
+        potential = seg_reduce_counts(act_now, G, K,
+                                      out_dtype=jnp.bfloat16)  # (C, G)
+        connected = seg_reduce_counts(conn_now, G, K,
+                                      out_dtype=jnp.bfloat16)
         matching = potential >= cfg.segment_matching_threshold
         seg_active = matching & (
             connected >= cfg.segment_activation_threshold

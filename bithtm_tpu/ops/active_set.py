@@ -66,19 +66,24 @@ def prediction_words(seg_cell: jnp.ndarray, seg_active: jnp.ndarray,
     128-lane axis on C — the dense (C, D) bool carry it replaces
     materialized with a transposed layout and cost ~0.4 ms/step of
     scan-carry copies at B=256. The sentinel owner (seg_cell ==
-    cell_dim, unallocated) never lands in a word range."""
+    cell_dim, unallocated) never lands in a word range.
+
+    The G-axis OR is a single `lax.reduce` (not a per-g slice chain):
+    the chain forced XLA to materialize the (..., C, G) bit tensor,
+    whose G minor axis tile-pads 16-32x — a ~270 MB intermediate at
+    B=256 default config, ~0.35 ms/step of pure HBM traffic. The
+    reduce form fuses the bit computation into the reduction and only
+    the (..., C) words ever hit HBM."""
     W = cell_words(cell_dim)
-    G = seg_cell.shape[-1]
     words = []
     for w in range(W):
         upper = min(32 * (w + 1), cell_dim)
         in_w = seg_active & (seg_cell >= 32 * w) & (seg_cell < upper)
         sft = jnp.clip(seg_cell - 32 * w, 0, 31).astype(jnp.uint32)
         bit = jnp.where(in_w, jnp.uint32(1) << sft, jnp.uint32(0))
-        acc = bit[..., 0]
-        for g in range(1, G):
-            acc = acc | bit[..., g]
-        words.append(acc)
+        words.append(jax.lax.reduce(
+            bit, jnp.uint32(0), jax.lax.bitwise_or, (bit.ndim - 1,)
+        ))
     return jnp.stack(words, axis=-2)
 
 
@@ -287,8 +292,8 @@ def table_update_xla(syn_cell, syn_perm, act_prev, pun_word, cols, bits,
     act_b = synapse_activation_xla(syn, cols, bits, cell_dim)
     act = act_b.astype(jnp.bfloat16)
     conn = (act_b & (perm >= perm_threshold)).astype(jnp.bfloat16)
-    potential = seg_reduce_counts(act, G, K)
-    connected = seg_reduce_counts(conn, G, K)
+    potential = seg_reduce_counts(act, G, K, out_dtype=jnp.bfloat16)
+    connected = seg_reduce_counts(conn, G, K, out_dtype=jnp.bfloat16)
     matching = potential >= matching_threshold
     seg_active = matching & (connected >= activation_threshold)
     prediction = prediction_words(seg_cell, seg_active, cell_dim)
@@ -322,8 +327,10 @@ def table_update(syn_cell, syn_perm, act_prev, pun_word, cols, bits,
                 syn_cell, syn_perm, act_prev, pun_word, cols, bits,
                 cell_dim, K, punishment, perm_threshold, block=block,
             )
-            potential = seg_reduce_counts(act, G, K)
-            connected = seg_reduce_counts(conn, G, K)
+            potential = seg_reduce_counts(act, G, K,
+                                          out_dtype=jnp.bfloat16)
+            connected = seg_reduce_counts(conn, G, K,
+                                          out_dtype=jnp.bfloat16)
             matching = potential >= matching_threshold
             seg_active = matching & (connected >= activation_threshold)
             prediction = prediction_words(seg_cell, seg_active, cell_dim)
@@ -350,12 +357,23 @@ def _seg_matrix(num_segments: int, synapses: int) -> jnp.ndarray:
 
 
 def seg_reduce_counts(flat_mask: jnp.ndarray, num_segments: int,
-                      synapses: int) -> jnp.ndarray:
-    """(C, G*K) 0/1 mask (bool or bf16) -> (C, G) int32 per-segment
-    counts via an MXU matmul against a constant block matrix. bf16
-    inputs (straight from the table kernel) take a bf16 x bf16 -> f32
-    dot — exact, since counts <= K < 256 and accumulation is f32 —
-    with no table-sized convert pass; other dtypes take the int8 path."""
+                      synapses: int,
+                      out_dtype=jnp.int32) -> jnp.ndarray:
+    """(C, G*K) 0/1 mask (bool or bf16) -> (C, G) per-segment counts
+    via an MXU matmul against a constant block matrix. bf16 inputs
+    (straight from the table kernel) take a bf16 x bf16 -> f32 dot —
+    exact, since counts <= K < 256 and accumulation is f32 — with no
+    table-sized convert pass; other dtypes take the int8 path.
+
+    ``out_dtype=jnp.bfloat16`` emits the counts at half the
+    padded-intermediate HBM traffic: the (C, G) output's minor axis
+    tile-pads 16-32x, so every byte of element width costs ~70 MB/step
+    at B=256 defaults. The threshold compares downstream are exact on
+    integer-valued bf16; counts above 256 are not bf16-exact, so K >
+    256 silently widens to f32 (still exact, same padded traffic as
+    i32)."""
+    if out_dtype == jnp.bfloat16 and synapses > 256:
+        out_dtype = jnp.float32
     m = _seg_matrix(num_segments, synapses)
     if flat_mask.dtype == jnp.bfloat16:
         out = jax.lax.dot_general(
@@ -363,12 +381,12 @@ def seg_reduce_counts(flat_mask: jnp.ndarray, num_segments: int,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return out.astype(jnp.int32)
+        return out.astype(out_dtype)
     return jax.lax.dot_general(
         flat_mask.astype(jnp.int8), m,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
-    )
+    ).astype(out_dtype)
 
 
 def seg_broadcast(per_segment: jnp.ndarray, num_segments: int,
