@@ -98,3 +98,57 @@ def test_argmax_onehot_exactly_one():
     oh = np.asarray(argmax_onehot(v))
     assert oh.sum(axis=1).tolist() == [1, 1]
     assert oh[0, 1] and oh[1, 0]  # ties -> lowest index (jnp.argmax)
+
+
+def test_seg_reduce_counts_dtypes():
+    """bf16-output counts must stay exact (counts are integers <= K) and
+    auto-widen to f32 when K > 256 would break bf16 integer exactness."""
+    from bithtm_tpu.ops.active_set import seg_reduce_counts
+
+    rng = np.random.RandomState(3)
+    C, G, K = 8, 4, 48
+    mask = (rng.rand(C, G * K) < 0.5)
+    expect = mask.reshape(C, G, K).sum(-1).astype(np.int32)
+    for in_dtype in (jnp.bool_, jnp.bfloat16):
+        x = jnp.asarray(mask).astype(in_dtype)
+        got_i32 = seg_reduce_counts(x, G, K)
+        assert got_i32.dtype == jnp.int32
+        np.testing.assert_array_equal(np.asarray(got_i32), expect)
+        got_bf16 = seg_reduce_counts(x, G, K, out_dtype=jnp.bfloat16)
+        assert got_bf16.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(got_bf16, dtype=np.int32), expect
+        )
+
+    # K > 256: the bf16 request silently widens to f32 (still exact)
+    K2 = 300
+    mask2 = np.ones((4, 2 * K2), bool)  # counts = 300 > bf16 integer range
+    got = seg_reduce_counts(jnp.asarray(mask2), 2, K2,
+                            out_dtype=jnp.bfloat16)
+    assert got.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(got, dtype=np.int32), np.full((4, 2), K2, np.int32)
+    )
+
+
+def test_prediction_words_matches_or_chain():
+    """The lax.reduce OR over the G axis must equal the per-g OR chain."""
+    from bithtm_tpu.ops.active_set import prediction_words
+
+    rng = np.random.RandomState(4)
+    for D in (4, 32, 40, 64):
+        C, G = 12, 5
+        seg_cell = rng.randint(0, D + 1, size=(C, G)).astype(np.int32)
+        seg_active = (rng.rand(C, G) < 0.5) & (seg_cell < D)
+        words = np.asarray(
+            prediction_words(jnp.asarray(seg_cell),
+                             jnp.asarray(seg_active), D)
+        )
+        W = (D + 31) // 32
+        expect = np.zeros((W, C), np.uint32)
+        for c in range(C):
+            for g in range(G):
+                if seg_active[c, g]:
+                    cell = seg_cell[c, g]
+                    expect[cell // 32, c] |= np.uint32(1) << (cell % 32)
+        np.testing.assert_array_equal(words, expect)
