@@ -214,17 +214,24 @@ def _allocate(cfg: TMConfig, segcell_rows, syn_rows, match_rows, unacc):
     return new_seg, new_owner, n_dropped, n_evicted
 
 
-def _select_and_fill(pri, n_grow, cand_cell, free, samp, method):
+def _select_and_fill(pri, n_grow, cand_cell, free, samp, method,
+                     cell_bits: int | None = None):
     """Growth-candidate selection + free-slot fill, shared core of
     `_grow` (replace_free semantics, `utils.py:44-76`): per row, choose
     the ``n_grow[i]`` smallest finite priorities and write them into the
     first free slots.
 
-    Two methods choosing the **identical candidate set** (away from
+    Three methods choosing the **identical candidate set** (away from
     measure-zero priority ties) but placing it differently — placement
     within a segment is semantically free (a segment is a *set* of
     synapses; the oracle adopts grown sets per slot, not positions):
-      * ``sortfill`` (default) — one `lax.sort` of (priority, candidate)
+      * ``sortfill_packed`` (default when the cell id fits, see `_grow`)
+        — ``pri`` is a uint32 key with the candidate's cell id in the
+        low ``cell_bits`` bits and i.i.d. random bits above (invalid =
+        0xFFFFFFFF, which no valid key reaches: valid keys keep bit 31
+        clear); ONE payload-free `lax.sort` both ranks and carries the
+        candidates, halving the sorted bytes of ``sortfill``.
+      * ``sortfill`` — one `lax.sort` of (priority f32, candidate s32)
         pairs; the r-th smallest priority fills the r-th free slot.
         ~2x faster than pairwise on TPU at (L, Wc) = (128, 128): no
         O(Wc^2) rank tensor, no (K, Wc) match tensor.
@@ -238,7 +245,20 @@ def _select_and_fill(pri, n_grow, cand_cell, free, samp, method):
     L, Wc = pri.shape
     K = free.shape[-1]
     free_rank = rank_ascending(free)                             # (L, K)
-    if method == "sortfill":
+    if method == "sortfill_packed":
+        sent = jnp.uint32(0xFFFFFFFF)
+        n_valid = (pri != sent).sum(axis=-1, dtype=jnp.int32)
+        n_chosen = jnp.minimum(n_grow, n_valid)                  # (L,)
+        sorted_key = jax.lax.sort(pri, dimension=-1, is_stable=False)
+        kk = min(samp, Wc)                                       # n_grow <= samp
+        low = jnp.uint32((1 << cell_bits) - 1)
+        chosen_cell = (sorted_key[:, :kk] & low).astype(jnp.int32)
+        r = jnp.arange(kk, dtype=jnp.int32)
+        sel = free_rank[:, None, :] == r[:, None]                # (L, kk, K)
+        gathered = jnp.sum(
+            sel * chosen_cell[:, :, None], axis=1, dtype=jnp.int32
+        )                                                        # (L, K)
+    elif method == "sortfill":
         n_valid = (pri < jnp.inf).sum(axis=-1, dtype=jnp.int32)
         n_chosen = jnp.minimum(n_grow, n_valid)                  # (L,)
         _, cand_by_pri = jax.lax.sort(
@@ -330,16 +350,38 @@ def _grow(cfg: TMConfig, key, syn_rows, perm_rows, learn_rows,
         0,
     )                                                            # (L,)
 
-    # Priorities; existing targets and non-winner slots -> +inf
-    # (projections.py:120-121's put_along_axis(..., inf) trick).
-    pri = jax.random.uniform(key, (L, Wc), jnp.float32)
+    # Random priorities; existing targets and non-winner slots are
+    # excluded (projections.py:120-121's put_along_axis(..., inf)
+    # trick). When the global cell id fits in <= 16 bits the priority
+    # key embeds it (``sortfill_packed``): candidates are distinct
+    # cells, so valid keys never tie exactly, and >= 15 i.i.d. random
+    # high bits make random-bit collisions (which fall back to
+    # order-by-cell-id among the collided pair) a <= 0.05%-of-rows
+    # event — the grown set stays a uniform random sample to that
+    # tolerance. Larger cell spaces (e.g. 16K x 64 = 2^20 cells) keep
+    # the exact-f32-priority pair sort.
     existing = (syn_l[:, :, None] == cand_cell).any(axis=1)      # (L, Wc)
-    pri = jnp.where(cand_valid & ~existing, pri, jnp.inf)
-
+    valid = cand_valid & ~existing
+    n_cells = cfg.column_dim * D
+    cell_bits = max(1, (n_cells - 1).bit_length())
     free = ~live_l
-    gathered, wrote_l, n_chosen = _select_and_fill(
-        pri, n_grow, cand_cell, free, samp, "sortfill"
-    )
+    if 31 - cell_bits >= 15:
+        rnd = jax.random.bits(key, (L, Wc), jnp.uint32)
+        pkey = (
+            ((rnd >> jnp.uint32(cell_bits + 1)) << jnp.uint32(cell_bits))
+            | cand_cell.astype(jnp.uint32)
+        )
+        pkey = jnp.where(valid, pkey, jnp.uint32(0xFFFFFFFF))
+        gathered, wrote_l, n_chosen = _select_and_fill(
+            pkey, n_grow, cand_cell, free, samp, "sortfill_packed",
+            cell_bits=cell_bits,
+        )
+    else:
+        pri = jax.random.uniform(key, (L, Wc), jnp.float32)
+        pri = jnp.where(valid, pri, jnp.inf)
+        gathered, wrote_l, n_chosen = _select_and_fill(
+            pri, n_grow, cand_cell, free, samp, "sortfill"
+        )
     new_syn_l = jnp.where(wrote_l, gathered, syn_l)
 
     # --- scatter the L rows back into the (A, G, K) active-column rows
@@ -365,7 +407,8 @@ def _grow(cfg: TMConfig, key, syn_rows, perm_rows, learn_rows,
 
 
 def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
-           active_cols, pred_rows, winner_rows, cell_max_j, seg_j):
+           active_cols, col_active, pred_rows, winner_rows, cell_max_j,
+           seg_j):
     """Step 3 minus punishment: row-space graph mutation
     (`PredictiveProjection.update`, `projections.py:257-293`). Learns
     against the *previous* step's activation/winners; a no-op on step 0
@@ -455,7 +498,20 @@ def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
     # punishment pass runs after this, touching only non-active columns)
     syn_full = syn_flat.at[active_cols].set(syn_rows.reshape(-1, J))
     perm_full = perm_flat.at[active_cols].set(perm_rows.reshape(-1, J))
-    seg_cell = state.seg_cell.at[active_cols].set(segcell_rows)
+    # seg_cell write-back as one-hot dot + masked select instead of a
+    # row scatter: the (C, G) table's narrow G axis makes XLA's scatter
+    # write single lanes across sublane tiles (~0.42 ms/step at B=256
+    # for 32 KB of logical data); the f32 dot (exact for cell ids
+    # < 2^24) plus a full-table select moves the same data in ~0.05 ms.
+    onehot = (
+        active_cols[:, None] == jnp.arange(C, dtype=jnp.int32)
+    ).astype(jnp.float32)                                       # (A, C)
+    dense_rows = jax.lax.dot_general(
+        onehot, segcell_rows.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)                                         # (C, G)
+    seg_cell = jnp.where(col_active[:, None], dense_rows, state.seg_cell)
 
     learning_full = (
         jnp.zeros((C, G), jnp.bool_).at[active_cols].set(learn_rows)
@@ -543,7 +599,7 @@ def tm_step(
     if learning:
         with jax.named_scope("tm_learn"):
             syn_mid, perm_mid, seg_cell, learn_metrics, debug = _learn(
-                cfg, state, k_grow, active_cols, pred_rows,
+                cfg, state, k_grow, active_cols, col_active, pred_rows,
                 winner_rows, cell_max_j, seg_j,
             )
         # punishment: matching segments of non-active columns

@@ -42,5 +42,9 @@ def k_winners(boosted: jnp.ndarray, k: int):
     lowest index) is behaviour-compatible. Returns (indices, mask).
     """
     _, idx = jax.lax.top_k(boosted, k)
-    mask = jnp.zeros(boosted.shape, jnp.bool_).at[idx].set(True)
+    # mask via compare, not scatter: a k-index scatter into (C,) writes
+    # scattered single lanes; the (C, k) compare-any is pure VPU work
+    # and fuses into the duty-cycle consumer.
+    c = jnp.arange(boosted.shape[-1], dtype=idx.dtype)
+    mask = (c[:, None] == idx[None, :]).any(axis=-1)
     return idx, mask

@@ -291,6 +291,52 @@ def test_select_and_fill_methods_agree():
                     )
 
 
+def test_select_and_fill_packed():
+    """The packed-key path (cell id in the low key bits, random bits
+    above) selects exactly the cells of the n smallest keys into the
+    first free slots, matching the f32-priority sortfill run on the
+    key order."""
+    from bithtm_tpu.models.temporal_memory import _select_and_fill
+
+    rng = np.random.RandomState(7)
+    cell_bits = 16
+    for trial in range(6):
+        L = int(rng.randint(1, 12))
+        Wc = int(rng.choice([4, 16, 130]))
+        K = int(rng.randint(3, 20))
+        samp = int(rng.randint(1, 34))
+        # distinct cells (the real candidate list is distinct by
+        # construction), random high bits, ~30% invalid
+        cells = rng.choice(1 << cell_bits, size=Wc, replace=False)
+        hi = rng.randint(0, 1 << (31 - cell_bits), size=(L, Wc))
+        key = ((hi << cell_bits) | cells[None, :]).astype(np.uint32)
+        key[rng.rand(L, Wc) < 0.3] = np.uint32(0xFFFFFFFF)
+        n_grow = rng.randint(0, min(samp, Wc) + 1, size=L).astype(np.int32)
+        free = rng.rand(L, K) < 0.5
+        gathered, wrote, n_chosen = jax.device_get(
+            _select_and_fill(
+                jnp.asarray(key), jnp.asarray(n_grow),
+                jnp.asarray(cells.astype(np.int32)), jnp.asarray(free),
+                samp, "sortfill_packed", cell_bits=cell_bits,
+            )
+        )
+        for l in range(L):
+            valid = key[l] != np.uint32(0xFFFFFFFF)
+            n = min(int(n_grow[l]), int(valid.sum()))
+            order = np.argsort(key[l], kind="stable")
+            chosen = (key[l][order[:n]] & 0xFFFF).astype(np.int32)
+            assert int(n_chosen[l]) == n
+            got = np.sort(gathered[l][wrote[l]])
+            if n <= int(free[l].sum()):
+                np.testing.assert_array_equal(got, np.sort(chosen))
+            else:
+                from collections import Counter
+
+                assert not Counter(got.tolist()) - Counter(
+                    chosen.tolist()
+                )
+
+
 def test_parity_wide_active_set_no_truncation():
     """A=160 > the old 128 cap (VERDICT r1 #2): bit-exact parity with
     auto-scaled winner/growth capacities, zero drop counters, and
