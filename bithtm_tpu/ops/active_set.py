@@ -280,13 +280,15 @@ def table_update_xla(syn_cell, syn_perm, act_prev, pun_word, cols, bits,
     prediction packed (W, C) uint32 — see `prediction_words`)."""
     G = seg_cell.shape[1]
     K = syn_cell.shape[1] // G
-    live = syn_cell >= 0
+    # No explicit live mask (matches `_table_kernel`): free slots have
+    # act_prev == 0 and already sit at syn = -1 / perm = -1.0, so the
+    # dead select rewriting them is a bit-exact no-op.
     g_lane = jnp.arange(syn_cell.shape[1], dtype=jnp.int32) // K
     pen_bit = (pun_word[:, None].astype(jnp.int32) >> g_lane) & 1
-    pen = (pen_bit == 1) & (act_prev != 0) & live
+    pen = (pen_bit == 1) & (act_prev != 0)
     perm = syn_perm - jnp.where(pen, jnp.float32(punishment),
                                 jnp.float32(0.0))
-    dead = live & (perm < 0.0)
+    dead = perm < 0.0
     syn = jnp.where(dead, -1, syn_cell)
     perm = jnp.where(dead, -1.0, perm)
     act_b = synapse_activation_xla(syn, cols, bits, cell_dim)

@@ -213,17 +213,20 @@ def _table_kernel(*refs, cell_dim: int, num_active: int, words: int,
      syn_out, perm_out, act_out, conn_out) = refs
     syn = syn_ref[:]
     perm = perm_ref[:]
-    live = syn >= 0
     # act_prev is bf16 0/1; one bf16 `!= 0` is fine, but a SECOND bf16
     # operand compared `!= 0` here trips a Mosaic i1-relayout bug — the
     # punishment mask therefore rides as an integer bit word. The word
     # is carried as u8 when G <= 8 (an s32 (C, 1) operand lane-pads to
     # 128 and relayout-copies ~0.4 ms/step at B=256; u8 pads 4x less).
+    # No explicit live mask: free slots have act_prev == 0 (never
+    # punished) and already sit at syn = -1 / perm = -1.0, so the dead
+    # select rewriting them is a bit-exact no-op; live synapses always
+    # have perm >= 0 (death fires exactly when one crosses below).
     g_lane = jax.lax.broadcasted_iota(jnp.int32, syn.shape, 1) // synapses
     pen_bit = (pun_ref[:].astype(jnp.int32) >> g_lane) & 1
-    pen = (pen_bit == 1) & (actprev_ref[:] != 0) & live
+    pen = (pen_bit == 1) & (actprev_ref[:] != 0)
     perm = perm - jnp.where(pen, jnp.float32(punishment), jnp.float32(0.0))
-    dead = live & (perm < 0.0)
+    dead = perm < 0.0
     syn = jnp.where(dead, -1, syn)
     perm = jnp.where(dead, jnp.float32(-1.0), perm)
 
