@@ -40,9 +40,11 @@ from .encoders import (
     CyclicEncoder,
     DateTimeEncoder,
     ScalarEncoder,
+    alert_episodes,
     anomaly_likelihood_init,
     anomaly_likelihood_update,
     anomaly_score,
+    score_alert_windows,
 )
 from .models.stack import (
     StackConfig,
@@ -73,6 +75,7 @@ __all__ = [
     "anomaly_likelihood_init",
     "anomaly_likelihood_update",
     "anomaly_score",
+    "alert_episodes", "score_alert_windows",
     "ClassifierState", "classifier_init", "classifier_predict",
     "classifier_update", "bucketize", "bucket_value",
     "config_to_dict", "config_from_dict",

@@ -218,3 +218,54 @@ def anomaly_likelihood_update(
                                short_mean=short),
         likelihood,
     )
+
+
+# ---- alerting + task-level scoring (host-side, NAB protocol) -----------
+# Turning a likelihood stream into discrete alerts and scoring them
+# against labeled anomaly windows is the last mile of the NAB protocol.
+# Host-side by design: it runs on the already-materialized score stream
+# after the device loop, at O(alerts) cost.
+
+
+def alert_episodes(detect_steps, merge_gap: int):
+    """Merge sorted detection step indices into (start, end) alerts.
+
+    ``detect_steps`` is an ascending iterable of step indices where the
+    detector fired (e.g. ``np.flatnonzero(nlog >= threshold)``);
+    consecutive detections closer than ``merge_gap`` steps belong to
+    the same alert episode."""
+    episodes: list[list[int]] = []
+    for s in detect_steps:
+        s = int(s)
+        if episodes and s - episodes[-1][1] <= merge_gap:
+            episodes[-1][1] = s
+        else:
+            episodes.append([s, s])
+    return [(a, b) for a, b in episodes]
+
+
+def score_alert_windows(episodes, windows):
+    """NAB-style window-level confusion for a set of alerts.
+
+    ``episodes`` are (start, end) alerts (see `alert_episodes`);
+    ``windows`` are (start, end) ground-truth anomaly windows. A window
+    counts as detected iff at least one alert overlaps it; an alert
+    overlapping no window is a false positive. Returns a dict with
+    ``tp`` / ``fp`` / ``fn`` / ``precision`` / ``recall`` / ``f1``."""
+    tp_windows = 0
+    matched = [False] * len(episodes)
+    for w0, w1 in windows:
+        hit = False
+        for i, (a0, a1) in enumerate(episodes):
+            if a0 <= w1 and a1 >= w0:
+                matched[i] = True
+                hit = True
+        tp_windows += hit
+    fp = matched.count(False)
+    fn = len(windows) - tp_windows
+    precision = tp_windows / max(tp_windows + fp, 1)
+    recall = tp_windows / max(len(windows), 1)
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return dict(tp=tp_windows, fp=fp, fn=fn, precision=precision,
+                recall=recall, f1=f1)

@@ -1,13 +1,22 @@
-"""End-to-end streaming anomaly detection (NAB-style).
+"""End-to-end streaming anomaly detection with a NAB-style task score.
 
 A periodic scalar signal with timestamps is encoded to SDRs, streamed
-through a learning HTM, and scored with the Numenta raw anomaly metric
-(fraction of active columns that were not predicted). The script injects
-two anomalies — a point spike and a behavior change — and prints the
-per-window anomaly scores showing both being flagged after the model
-has learned the normal pattern.
+through a learning HTM, and scored with the Numenta anomaly pipeline:
+raw score (fraction of active columns not predicted) -> anomaly
+*likelihood* (Gaussian tail probability of the short-term mean score
+under the stream's own running distribution) -> thresholded alerts.
+The reference only prints raw column counts (`example.py:55-65`); the
+likelihood post-processor is the production-serving layer on top.
 
-Run: python examples/anomaly_detection.py [--cpu]
+The script injects two anomalies — a point spike and a behavior
+change — and reports the NAB-style *task-level* score: alerts are
+matched against ground-truth anomaly windows, and window-level
+precision / recall / F1 are printed per seed and aggregated. An alert
+is a maximal run of above-threshold steps (gap <= half a period);
+a window counts as detected if any alert overlaps it; alerts
+overlapping no window are false positives.
+
+Run: python examples/anomaly_detection.py [--cpu] [--seeds N]
 """
 
 import argparse
@@ -22,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--alert_nlog10", type=float, default=2.0,
+                   help="alert when -log10(1 - likelihood) >= this "
+                        "(2.0 == likelihood 0.99)")
     p.add_argument("--log", default=None, help="JSONL metrics path")
     args = p.parse_args()
 
@@ -34,9 +47,13 @@ def main():
     from bithtm_tpu import (
         CyclicEncoder,
         ScalarEncoder,
+        alert_episodes,
+        anomaly_likelihood_init,
+        anomaly_likelihood_update,
         htm_init,
         htm_scan,
         make_htm_config,
+        score_alert_windows,
     )
     from bithtm_tpu.encoders import concat
 
@@ -60,34 +77,72 @@ def main():
     spike_at = 45 * period + period // 2
     values[spike_at] = 1.5                               # point anomaly
 
+    # ground-truth anomaly windows (NAB marks a tolerance window around
+    # each labeled anomaly) + probation period (model still learning)
+    windows = [
+        (spike_at - period // 2, spike_at + period // 2),
+        (change, change + 3 * period),
+    ]
+    probation = 35 * period
+
     x = np.asarray(concat(
         value_enc(jnp.asarray(values)),
         time_enc(jnp.asarray(t, dtype=jnp.float32)),
     ))
-    state = htm_init(jax.random.key(0), cfg)
-    state, metrics = htm_scan(cfg, state, jnp.asarray(x), True)
-    anomaly = np.asarray(metrics["anomaly"])
 
+    @jax.jit
+    def likelihoods(scores):
+        def f(st, s):
+            st, lik = anomaly_likelihood_update(
+                st, s, short_momentum=0.7, exclude_recent=period)
+            return st, lik
+        _, lik = jax.lax.scan(f, anomaly_likelihood_init(window=300),
+                              scores)
+        return lik
+
+    results = []
     logger = None
     if args.log:
         from bithtm_tpu.utils.metrics_log import JsonlLogger
 
         logger = JsonlLogger(args.log)
-        for step in range(len(anomaly)):
-            logger.write({"anomaly": anomaly[step], "value": values[step]})
+
+    for seed in range(args.seeds):
+        state = htm_init(jax.random.key(seed), cfg)
+        state, metrics = htm_scan(cfg, state, jnp.asarray(x), True)
+        raw = jnp.asarray(metrics["anomaly"], jnp.float32)
+        nlog = -np.log10(np.maximum(1.0 - np.asarray(likelihoods(raw)),
+                                    1e-12))
+        detect = np.flatnonzero(
+            (nlog >= args.alert_nlog10) & (np.arange(len(nlog)) >= probation)
+        )
+        episodes = alert_episodes(detect, merge_gap=period // 2)
+        r = score_alert_windows(episodes, windows)
+        r["alerts"] = [(int(a), int(b)) for a, b in episodes]
+        results.append(r)
+        print(f"seed {seed}: alerts at {r['alerts']} -> "
+              f"TP {r['tp']}/{len(windows)} windows, FP {r['fp']} | "
+              f"precision {r['precision']:.2f} recall {r['recall']:.2f} "
+              f"F1 {r['f1']:.2f}")
+        if logger is not None:
+            for step in range(len(raw)):
+                logger.write({"seed": seed, "value": float(values[step]),
+                              "anomaly": float(raw[step]),
+                              "nlog10_likelihood": float(nlog[step])})
+
+    if logger is not None:
         logger.close()
 
-    per_cycle = anomaly.reshape(-1, period).mean(axis=1)
-    print("mean anomaly per cycle (60 cycles; behavior change at cycle 50):")
-    for row in range(0, 60, 10):
-        print("  " + " ".join(f"{v:.2f}" for v in per_cycle[row:row + 10]))
-    learned = per_cycle[40:45].mean()
-    spike_cycle = per_cycle[45]
-    changed = per_cycle[50:52].mean()
-    print(f"\nlearned-regime anomaly: {learned:.2f}; point-spike cycle: "
-          f"{spike_cycle:.2f}; after behavior change: {changed:.2f}")
-    assert spike_cycle > 1.5 * learned, "point spike should register"
-    assert changed > 2 * learned, "anomaly should spike at the change"
+    f1 = np.array([r["f1"] for r in results])
+    rec = np.array([r["recall"] for r in results])
+    prec = np.array([r["precision"] for r in results])
+    print(f"\ntask score over {args.seeds} seeds "
+          f"(spike + behavior-change windows, alert threshold "
+          f"likelihood >= {1 - 10 ** -args.alert_nlog10:.2f}):")
+    print(f"  precision {prec.mean():.2f} +/- {prec.std():.2f}   "
+          f"recall {rec.mean():.2f} +/- {rec.std():.2f}   "
+          f"F1 {f1.mean():.2f} +/- {f1.std():.2f}")
+    assert f1.mean() >= 0.9, "anomaly task score regressed"
     print("anomaly detection works.")
 
 

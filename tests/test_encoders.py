@@ -143,3 +143,31 @@ def test_anomaly_likelihood_flags_regime_change():
     # recovers statefully: feeding steady scores again decays it
     state2, liks2 = run(state, jnp.asarray(steady[:150]))
     assert np.asarray(liks2)[-1] < 0.999
+
+
+def test_alert_episodes_and_window_scoring():
+    """Last mile of the NAB protocol: detections merge into alerts by
+    gap, alerts score against ground-truth windows at the window level."""
+    from bithtm_tpu import alert_episodes, score_alert_windows
+
+    # gap 3: [5,6,8] merge; 20->23 merges (gap exactly 3); 40 stands alone
+    eps = alert_episodes([5, 6, 8, 20, 23, 40], merge_gap=3)
+    assert eps == [(5, 8), (20, 23), (40, 40)]
+    assert alert_episodes([], merge_gap=3) == []
+
+    windows = [(0, 10), (30, 35)]
+    r = score_alert_windows(eps, windows)
+    # (5,8) hits window 1; (20,23) and (40,40) hit nothing; window 2 missed
+    assert (r["tp"], r["fp"], r["fn"]) == (1, 2, 1)
+    assert r["precision"] == 1 / 3 and r["recall"] == 0.5
+    assert abs(r["f1"] - 0.4) < 1e-12
+
+    # perfect detection: one alert per window, no strays
+    r2 = score_alert_windows([(2, 4), (31, 31)], windows)
+    assert (r2["tp"], r2["fp"], r2["fn"]) == (2, 0, 0)
+    assert r2["f1"] == 1.0
+
+    # no alerts at all: recall 0, f1 0 (no division blowup)
+    r3 = score_alert_windows([], windows)
+    assert (r3["tp"], r3["fp"], r3["fn"]) == (0, 0, 2)
+    assert r3["f1"] == 0.0
