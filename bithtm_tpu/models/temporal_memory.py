@@ -25,7 +25,8 @@ TPU-native design (why this looks nothing like the reference):
     minor dim would tile-pad to 128 lanes, costing a 2.7x relayout copy
     per materialization. Per-segment reductions/broadcasts on the full
     table go through a constant block matrix on the MXU
-    (`ops/active_set.seg_reduce_counts` / `seg_broadcast`).
+    (`ops/active_set.seg_reduce_counts`); per-segment *broadcasts* ride
+    as packed per-column bitmask words expanded in the table kernel.
   * All learning mutation is compacted to the A active-column rows
     (winner cells and learning segments only exist there), where 3D
     shapes are tiny; the only full-table learning op is the punishment

@@ -391,27 +391,6 @@ def seg_reduce_counts(flat_mask: jnp.ndarray, num_segments: int,
     ).astype(out_dtype)
 
 
-def seg_broadcast(per_segment: jnp.ndarray, num_segments: int,
-                  synapses: int) -> jnp.ndarray:
-    """(C, G) bool/0-1 -> (C, G*K) bool mask via int8 MXU matmul with
-    the ``!= 0`` fused into the dot epilogue (writing the boolean
-    directly saves a table-sized convert pass; the table kernel takes
-    its punishment-mask input as bool).
-
-    (A bf16-output dot feeding the table kernel as a bf16 operand was
-    probed: the kernel-side ``!= 0`` on a *second* bf16 input trips a
-    Mosaic i1-relayout bug — "Non-singleton logical dimension is
-    replicated in destination but not in source" — so the punishment
-    mask stays boolean at the kernel boundary.)"""
-    m = _seg_matrix(num_segments, synapses)
-    out = jax.lax.dot_general(
-        per_segment.astype(jnp.int8), m.T,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    return out != 0
-
-
 def compact_first_k(valid: jnp.ndarray, values: jnp.ndarray,
                     k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """First k `values[valid]` in index order, one-hot matched (no sort,

@@ -206,9 +206,9 @@ def _table_kernel(*refs, cell_dim: int, num_active: int, words: int,
 
     The punished-segment mask arrives as ONE i32 word per column (bit g
     = segment g punished) instead of a pre-broadcast (C, J) mask: the
-    XLA-side `seg_broadcast` MXU dot materialized a table-sized s32
-    intermediate (~1 ms/step at B=256) that this per-lane bit extract
-    replaces for free."""
+    XLA-side segment-broadcast MXU dot it replaced materialized a
+    table-sized s32 intermediate (~1 ms/step at B=256) that this
+    per-lane bit extract provides for free."""
     (*match_refs, syn_ref, perm_ref, actprev_ref, pun_ref,
      syn_out, perm_out, act_out, conn_out) = refs
     syn = syn_ref[:]
