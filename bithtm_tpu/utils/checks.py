@@ -77,6 +77,25 @@ def validate_tm_state(cfg, tm) -> None:
     ) != 0
     if not (match == (pot >= cfg.segment_matching_threshold)).all():
         fail("matching_word inconsistent with cached synapse_act")
+    # the carried packed prediction must equal the forward pass
+    # re-derived from the table + cached activity: a segment predicts
+    # its owner cell iff it is matching AND has >= activation_threshold
+    # connected (perm >= theta) active synapses
+    conn_cnt = (act & (perm >= cfg.permanence_threshold)).sum(-1)  # (C, G)
+    seg_active = (
+        (pot >= cfg.segment_matching_threshold)
+        & (conn_cnt >= cfg.segment_activation_threshold)
+    )
+    pred_cell = np.zeros((C, D), bool)
+    for c, g in zip(*np.nonzero(seg_active)):
+        if seg_cell[c, g] < D:
+            pred_cell[c, seg_cell[c, g]] = True
+    words = np.asarray(tm.prediction)                  # (W, C) u32
+    got_pred = np.stack(
+        [(words[dd // 32] >> (dd % 32)) & 1 for dd in range(D)], axis=-1
+    ) != 0                                             # (C, D)
+    if not (got_pred == pred_cell).all():
+        fail("packed prediction inconsistent with table + synapse_act")
 
 
 def validate_state(cfg, state) -> None:

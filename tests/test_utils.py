@@ -140,6 +140,13 @@ def test_invariant_checker_catches_corruption():
         validate_state(cfg, host.replace(
             tm=host.tm.replace(synapse_act=bad_act)))
 
+    # corrupted packed prediction carry (single flipped cell bit)
+    bad_pred = np.array(host.tm.prediction)
+    bad_pred[0, 3] ^= np.uint32(1 << 2)
+    with pytest.raises(StateInvariantError):
+        validate_state(cfg, host.replace(
+            tm=host.tm.replace(prediction=bad_pred)))
+
 
 def test_prefetch_pipeline_feeds_scan():
     import jax.numpy as jnp
