@@ -22,7 +22,9 @@ Sizes:
 (`sp_update_pack_tpu`) for 30 learning steps against the NumPy SP model
 (int16: bit-exact; f32: 1e-5).
 
-Run: python scripts/tpu_parity_check.py [--size mid] [--steps N] [--sp]
+Run: python scripts/tpu_parity_check.py [--size tiny|mid|full] [--steps N]
+[--sp] — `full` is the bench default config (2048 x 32, fast stack),
+i.e. the exact compiled kernels behind the headline number.
 """
 
 import argparse
@@ -53,10 +55,20 @@ def make_cfg(size: str) -> TMConfig:
             permanence_initial=0.2137, permanence_increment=0.1003,
             permanence_decrement=0.0997, permanence_punishment=0.0251,
         )
-    assert size == "mid", size
+    if size == "mid":
+        return TMConfig(
+            column_dim=512, cell_dim=32, active_columns=41,
+            segments_per_column=8, synapse_capacity=48,
+            segment_activation_threshold=15, segment_matching_threshold=15,
+            segment_sampling_synapses=32,
+        )
+    # full: the bench default config (fast stack G=4/K=64, 2048 x 32,
+    # A=41) — verifies the exact compiled table/activation kernels the
+    # headline benchmark runs, not a scaled-down stand-in
+    assert size == "full", size
     return TMConfig(
-        column_dim=512, cell_dim=32, active_columns=41,
-        segments_per_column=8, synapse_capacity=48,
+        column_dim=2048, cell_dim=32, active_columns=41,
+        segments_per_column=4, synapse_capacity=64,
         segment_activation_threshold=15, segment_matching_threshold=15,
         segment_sampling_synapses=32,
     )
@@ -195,14 +207,14 @@ def run_sp_parity(steps: int = 30) -> None:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--size", choices=("tiny", "mid"), default="tiny")
+    p.add_argument("--size", choices=("tiny", "mid", "full"), default="tiny")
     p.add_argument("--steps", type=int, default=0,
-                   help="default: 80 (tiny) / 60 (mid)")
+                   help="default: 80 (tiny) / 60 (mid) / 40 (full)")
     p.add_argument("--sp", action="store_true",
                    help="also check the compiled SP kernel")
     args = p.parse_args()
     print(f"backend: {jax.default_backend()} ({jax.devices()})")
-    steps = args.steps or (60 if args.size == "mid" else 80)
+    steps = args.steps or {"tiny": 80, "mid": 60, "full": 40}[args.size]
     run_tm_parity(args.size, steps)
     if args.sp:
         run_sp_parity()
