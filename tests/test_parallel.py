@@ -60,6 +60,46 @@ def test_sharded_step_matches_unsharded():
     )
 
 
+def test_model_parallel_all_devices_multiword():
+    """All-8-device model parallelism at a mid geometry with the
+    multi-word cell-bitmask path (D=64 -> W=2) and the fast-stack pool
+    shape — the per-suite guard for the scaled-config sharding
+    (`scripts/model_parallel_16k_check.py` is the full-shape release
+    check). Bit-equality of final state + step metrics vs unsharded."""
+    cfg = make_htm_config(
+        input_dim=128, column_dim=512, cell_dim=64, active_columns=10,
+        segments_per_column=4, synapse_capacity=64,
+        segment_activation_threshold=3, segment_matching_threshold=3,
+        segment_sampling_synapses=8,
+        sp_overrides={"permanence_dtype": "int16"},
+    )
+    B = 2
+    rng = np.random.RandomState(2)
+    xs = [jnp.asarray(rng.rand(B, cfg.input_dim) < 0.2) for _ in range(4)]
+
+    state_ref = htm_init_batch(jax.random.key(3), cfg, B)
+    step_ref = jax.jit(lambda s, x: (
+        lambda r: (r[0], r[1].metrics)
+    )(htm_step_batch(cfg, s, x, True)))
+    final_ref, burst_ref = _run(cfg, step_ref, state_ref, xs)
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    state_sh = shard_batched_state(
+        htm_init_batch(jax.random.key(3), cfg, B), mesh
+    )
+    final_sh, burst_sh = _run(cfg, sharded_step(cfg, mesh, learning=True),
+                              state_sh, xs)
+
+    np.testing.assert_array_equal(burst_sh, burst_ref)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        jax.device_get(final_sh.tm),
+        jax.device_get(final_ref.tm),
+    )
+
+
 def test_sharded_carry_layout_stable():
     """The sharded step's output state must be directly feedable back in
     (no host round trip, no resharding)."""
