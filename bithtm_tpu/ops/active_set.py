@@ -104,6 +104,19 @@ def prediction_dense_host(pred_words, cell_dim: int):
     return np.swapaxes(dense, -1, -2).astype(bool)     # (..., C, D)
 
 
+def matching_dense_host(matching_word, segments_per_column: int):
+    """NumPy form: (..., C) packed matching word -> (..., C, G) dense
+    bool (bit g = segment g matching). The one canonical host-side
+    decoder of the carried `matching_word` (used by the oracle bridge
+    and the state validator — keep them on this helper so the packed
+    layout has a single reader)."""
+    import numpy as np
+
+    word = np.asarray(matching_word)
+    g = np.arange(segments_per_column)
+    return ((word[..., :, None] >> g) & 1) != 0
+
+
 def dense_from_compact(cols: jnp.ndarray, bits: jnp.ndarray,
                        column_dim: int, cell_dim: int) -> jnp.ndarray:
     """Compact (cols, bits) -> dense (C, D) bool mask (for outputs/tests)."""

@@ -378,8 +378,12 @@ def sp_update_pack_tpu(
     interpret: bool = False,
 ):
     """Returns (permanence', connected_packed u8). In-place on the
-    permanence table (aliased). Bit-identical to the XLA fallback in
-    `models/spatial_pooler.sp_step`."""
+    permanence table (aliased). Bit-identical to
+    `models/spatial_pooler.sp_step`, which is what production actually
+    dispatches: this kernel measured ~4.5 ms/op vs ~4.3 ms for the XLA
+    pipeline and was rejected (docs/PERFORMANCE.md "Tried and
+    rejected"). Kept, with interpret-mode parity in
+    tests/test_pallas.py, as the record of the probe."""
     C, I_pad = permanence.shape
     S = I_pad // 8
     A = active_cols.shape[0]

@@ -461,10 +461,9 @@ class OracleTM:
         conn_cg = (
             act_cgk & (perm_tab >= self.cfg.permanence_threshold)
         ).sum(-1)
-        match = (
-            ((np.asarray(tm_state.matching_word)[:, None]
-              >> np.arange(G)) & 1) != 0
-        ).reshape(-1)
+        from ..ops.active_set import matching_dense_host
+
+        match = matching_dense_host(tm_state.matching_word, G).reshape(-1)
         check_set(
             "matching",
             set(int(i) for i in np.nonzero(match)[0]),

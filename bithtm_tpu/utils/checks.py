@@ -71,10 +71,10 @@ def validate_tm_state(cfg, tm) -> None:
         fail("synapse_act inconsistent with the table + active set")
     # the carried matching_word must equal the flags derived from that
     # activity (the same derivation the step uses at its active rows)
+    from ..ops.active_set import matching_dense_host, prediction_dense_host
+
     pot = act.sum(-1)
-    match = (
-        (np.asarray(tm.matching_word)[:, None] >> np.arange(G)) & 1
-    ) != 0
+    match = matching_dense_host(tm.matching_word, G)
     if not (match == (pot >= cfg.segment_matching_threshold)).all():
         fail("matching_word inconsistent with cached synapse_act")
     # the carried packed prediction must equal the forward pass
@@ -90,10 +90,7 @@ def validate_tm_state(cfg, tm) -> None:
     for c, g in zip(*np.nonzero(seg_active)):
         if seg_cell[c, g] < D:
             pred_cell[c, seg_cell[c, g]] = True
-    words = np.asarray(tm.prediction)                  # (W, C) u32
-    got_pred = np.stack(
-        [(words[dd // 32] >> (dd % 32)) & 1 for dd in range(D)], axis=-1
-    ) != 0                                             # (C, D)
+    got_pred = prediction_dense_host(tm.prediction, D)  # (C, D)
     if not (got_pred == pred_cell).all():
         fail("packed prediction inconsistent with table + synapse_act")
 
@@ -118,3 +115,41 @@ def validate_state(cfg, state) -> None:
     duty = np.asarray(state.sp.duty_cycle)
     if not ((duty >= 0.0) & (duty <= 1.0)).all():
         raise StateInvariantError("SP duty cycle out of [0, 1]")
+
+
+def assert_trees_bit_equal(got, want, got_metrics=None, want_metrics=None):
+    """Assert two state pytrees are **bit-equal**, leaf by leaf.
+
+    The one shared comparator behind every sharded-vs-unsharded
+    equality check (`__graft_entry__.dryrun_multichip`,
+    `scripts/model_parallel_16k_check.py`, `tests/test_parallel.py`):
+    flattens both trees, asserts identical treedefs, unwraps typed
+    PRNG-key leaves via `jax.random.key_data`, and compares every leaf
+    with exact array equality. Optionally also compares two metric
+    dicts key-by-key.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(got)
+    want_leaves, want_treedef = jax.tree_util.tree_flatten(want)
+    if treedef != want_treedef:
+        raise StateInvariantError(
+            f"tree structures differ: {treedef} vs {want_treedef}"
+        )
+    paths = jax.tree_util.tree_flatten_with_path(got)[0]
+    for (path, _), lhs, rhs in zip(paths, leaves, want_leaves):
+        if hasattr(lhs, "dtype") and jnp.issubdtype(
+            lhs.dtype, jax.dtypes.prng_key
+        ):
+            lhs, rhs = jax.random.key_data(lhs), jax.random.key_data(rhs)
+        np.testing.assert_array_equal(
+            np.asarray(lhs), np.asarray(rhs),
+            err_msg=f"leaf {jax.tree_util.keystr(path)}",
+        )
+    if got_metrics is not None:
+        for k in want_metrics:
+            np.testing.assert_array_equal(
+                np.asarray(got_metrics[k]), np.asarray(want_metrics[k]),
+                err_msg=f"metric {k}",
+            )

@@ -85,16 +85,10 @@ def main():
                                    mesh)
     final_sh, m_sh = run(sharded_step(cfg, mesh, learning=True), state_sh)
 
-    for k in m_ref:
-        np.testing.assert_array_equal(np.asarray(m_sh[k]),
-                                      np.asarray(m_ref[k]), err_msg=k)
+    from bithtm_tpu.utils.checks import assert_trees_bit_equal
 
-    def assert_equal(a, b):
-        if jnp.issubdtype(a.dtype, jax.dtypes.prng_key):
-            a, b = jax.random.key_data(a), jax.random.key_data(b)
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-    jax.tree_util.tree_map(assert_equal, final_sh, final_ref)
+    assert_trees_bit_equal(final_sh, final_ref, got_metrics=m_sh,
+                           want_metrics=m_ref)
     grown = int(np.asarray(m_ref["tm_grown_synapses"]).sum())
     print(f"sharded == unsharded bit-equal at 16384x64 (A=328, fast "
           f"stack): {args.steps} steps x {B} streams, full state + "

@@ -102,9 +102,12 @@ def main():
     p.add_argument("--input_density", type=float, default=0.2)
     p.add_argument("--input_noise_probability", type=float, default=0.05)
     p.add_argument("--skip_reference", action="store_true")
+    p.add_argument("--tpu", action="store_true",
+                   help="run our side on the default (axon) backend "
+                        "instead of CPU")
     args = p.parse_args()
 
-    if "--cpu" not in sys.argv:
+    if not args.tpu:
         # quality, not speed: run on the CPU backend so the comparison
         # does not depend on tunnel health (bit-exact either way)
         import jax

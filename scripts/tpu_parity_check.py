@@ -18,9 +18,12 @@ Sizes:
     matching/active segments, reinforcement, and punishment all fire at
     a realistic A=41 kernel shape.
 
---sp additionally runs the compiled fused SP update+pack kernel
-(`sp_update_pack_tpu`) for 30 learning steps against the NumPy SP model
-(int16: bit-exact; f32: 1e-5).
+--sp additionally runs the production SP step (`sp_step`: packed
+AND-popcount overlap + sparse-row Hebbian update — the path every bench
+and driver run dispatches) for 30 learning steps against the NumPy SP
+model (int16: bit-exact; f32: 1e-5). The rejected fused Pallas SP
+kernel (`sp_update_pack_tpu`, see docs/PERFORMANCE.md "Tried and
+rejected") is NOT in this loop; its parity lives in tests/test_pallas.py.
 
 Run: python scripts/tpu_parity_check.py [--size tiny|mid|full] [--steps N]
 [--sp] — `full` is the bench default config (2048 x 32, fast stack),
@@ -151,7 +154,7 @@ def run_tm_parity(size: str, steps: int) -> None:
 
 
 def run_sp_parity(steps: int = 30) -> None:
-    """Compiled fused SP kernel vs the NumPy SP model, both dtypes."""
+    """Compiled production SP step vs the NumPy SP model, both dtypes."""
     from bithtm_tpu import SPConfig, sp_init
     from bithtm_tpu.models.spatial_pooler import sp_step
 
@@ -201,7 +204,7 @@ def run_sp_parity(steps: int = 30) -> None:
               f"{steps} learning steps "
               + ("bit-exact" if cfg.quantized else "within 1e-5")
               + " vs NumPy model"
-              + (" (compiled fused SP kernel in the loop)"
+              + (" (compiled production SP step in the loop)"
                  if backend == "tpu" else ""))
 
 

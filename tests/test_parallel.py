@@ -11,6 +11,7 @@ import numpy as np
 from bithtm_tpu import htm_init_batch, make_htm_config
 from bithtm_tpu.models.htm import htm_step_batch
 from bithtm_tpu.parallel.mesh import make_mesh, shard_batched_state, sharded_step
+from bithtm_tpu.utils.checks import assert_trees_bit_equal
 
 
 def small_cfg():
@@ -51,13 +52,7 @@ def test_sharded_step_matches_unsharded():
     final_sh, burst_sh = _run(cfg, step_sh, state_sh, xs)
 
     np.testing.assert_array_equal(burst_sh, burst_ref)
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_array_equal(
-            np.asarray(a), np.asarray(b)
-        ),
-        jax.device_get(final_sh.tm),
-        jax.device_get(final_ref.tm),
-    )
+    assert_trees_bit_equal(jax.device_get(final_sh), jax.device_get(final_ref))
 
 
 def test_model_parallel_all_devices_multiword():
@@ -91,13 +86,7 @@ def test_model_parallel_all_devices_multiword():
                               state_sh, xs)
 
     np.testing.assert_array_equal(burst_sh, burst_ref)
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_array_equal(
-            np.asarray(a), np.asarray(b)
-        ),
-        jax.device_get(final_sh.tm),
-        jax.device_get(final_ref.tm),
-    )
+    assert_trees_bit_equal(jax.device_get(final_sh), jax.device_get(final_ref))
 
 
 def test_sharded_carry_layout_stable():
