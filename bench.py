@@ -56,6 +56,13 @@ def main():
                         "(tm_pool_occupancy etc.) in every step; off by "
                         "default — the serving loop keeps the driver "
                         "observables and drop counters only")
+    p.add_argument("--allocation_policy", default="reference",
+                   choices=("reference", "evict"),
+                   help="segment-pool allocation under pressure: "
+                        "'reference' (recycle-or-drop, surfaced by "
+                        "counters) or 'evict' (also evict the weakest "
+                        "mature slot — the analogue of the reference's "
+                        "unbounded growth; see docs/PERFORMANCE.md)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
@@ -78,6 +85,7 @@ def main():
         input_dim=args.input_dim,
         column_dim=args.column_dim,
         cell_dim=args.cell_dim,
+        allocation_policy=args.allocation_policy,
         **stack_overrides,
     )
     print(f"# stack: {args.stack}", file=sys.stderr)
