@@ -59,7 +59,7 @@ from ..ops.active_set import (
     prediction_dense,
     prediction_words,
     rank_ascending,
-    seg_reduce_counts,
+    seg_counts_packed,
     synapse_activation_conn,
     table_update,
     take_percell,
@@ -440,6 +440,15 @@ def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
     segcell_rows = state.seg_cell[active_cols]
     syn_rows = syn_flat[active_cols].reshape(-1, G, K)          # (A, G, K)
     perm_rows = perm_flat[active_cols].reshape(-1, G, K)
+    # Punishment death is implicit (the table kernel stops rewriting the
+    # syn table; dead = perm < 0). Clean the stale slots here, in row
+    # space — this reproduces bit-exactly the (-1, -1.0) the kernel used
+    # to write, for every row learning touches, and the write-back
+    # persists it. Free slots are already (-1, -1.0), so this is
+    # idempotent on them.
+    stale = perm_rows < 0.0
+    syn_rows = jnp.where(stale, -1, syn_rows)
+    perm_rows = jnp.where(stale, -1.0, perm_rows)
     act_prev_rows = act_prev[active_cols].reshape(-1, G, K) != 0
     # matching / active flags re-derived at the rows from the cached
     # activity + unmutated permanences (bit-equal to what the previous
@@ -618,10 +627,12 @@ def tm_step(
             0,
             state.matching_word,
         )
-        # the fused full-table pass: punish + death + activation +
-        # per-segment counts + prediction (networks.py:121-122,
-        # projections.py:245-255,269,290-293)
-        (syn_full, perm_full, act_now, potential, matching, seg_active,
+        # the fused full-table pass: punish + implicit death +
+        # activation + per-segment counts + prediction
+        # (networks.py:121-122, projections.py:245-255,269,290-293).
+        # The syn table is read-only in it (dead = perm < 0); syn_mid
+        # already carries the learning phase's row writes.
+        (perm_full, act_now, potential, connected, matching, seg_active,
          prediction) = table_update(
             syn_mid, perm_mid, state.synapse_act, pun_word,
             active_cols, act_bits, seg_cell, D,
@@ -629,6 +640,7 @@ def tm_step(
             cfg.segment_matching_threshold,
             cfg.segment_activation_threshold,
         )
+        syn_full = syn_mid
         if detailed_metrics:
             learn_metrics["tm_punished_segments"] = jnp.sum(
                 jax.lax.population_count(pun_word), dtype=jnp.int32
@@ -644,14 +656,11 @@ def tm_step(
         perm_full = state.synapse_perm
         seg_cell = state.seg_cell
         learn_metrics = {}
-        act_now, conn_now = synapse_activation_conn(
+        act_now = synapse_activation_conn(
             syn_full, perm_full, active_cols, act_bits, D,
-            cfg.permanence_threshold,
+            cfg.permanence_threshold, K,
         )
-        potential = seg_reduce_counts(act_now, G, K,
-                                      out_dtype=jnp.bfloat16)  # (C, G)
-        connected = seg_reduce_counts(conn_now, G, K,
-                                      out_dtype=jnp.bfloat16)
+        potential, connected = seg_counts_packed(act_now, G, K)  # (C, G)
         matching = potential >= cfg.segment_matching_threshold
         seg_active = matching & (
             connected >= cfg.segment_activation_threshold

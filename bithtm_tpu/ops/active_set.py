@@ -31,6 +31,36 @@ def cell_words(cell_dim: int) -> int:
     return (cell_dim + 31) // 32
 
 
+def act_scale(synapses: int) -> int:
+    """Scale of the packed activity encoding: the forward passes emit
+    ONE value per synapse slot, v = act + scale*conn (conn implies act,
+    so v in {0, 1, 1+scale}), with scale = the smallest power of two
+    > synapses so the per-segment count dot r = potential +
+    scale*connected decodes exactly (both counts <= synapses < scale).
+    Emitting one packed mask instead of separate act/conn masks saves a
+    full table-sized HBM write in the kernel plus one count-dot operand
+    pass (~0.6 ms/step at B=256 defaults)."""
+    return 1 << synapses.bit_length()
+
+
+def act_dtype(synapses: int):
+    """Dtype of the packed activity mask: bf16 (the count dots' MXU
+    operand dtype) whenever 1+scale is bf16-exact (7 mantissa bits ->
+    scale <= 128, i.e. synapses <= 127); f32 above (v and the dot stay
+    exact to 2^24)."""
+    return jnp.bfloat16 if act_scale(synapses) <= 128 else jnp.float32
+
+
+def pack_act_conn(act: jnp.ndarray, conn: jnp.ndarray,
+                  synapses: int) -> jnp.ndarray:
+    """(bool act, bool conn) -> packed activity value (see act_scale)."""
+    scale = act_scale(synapses)
+    one = jnp.float32(1.0)
+    return jnp.where(
+        act, jnp.where(conn, one + scale, one), jnp.float32(0.0)
+    ).astype(act_dtype(synapses))
+
+
 def pack_bits(mask: jnp.ndarray) -> jnp.ndarray:
     """(..., D) bool -> (..., W) uint32 bitmask (bit d of word d//32)."""
     D = mask.shape[-1]
@@ -206,10 +236,15 @@ def synapse_activation_conn(
     bits: jnp.ndarray,
     cell_dim: int,
     perm_threshold: float,
+    synapses: int,
 ):
     """Activation + connected-activity over a frozen table in one pass
     (the inference forward; learning gets these from `table_update`).
-    Returns (act bf16, conn bf16); identical results on both paths."""
+    Returns ONE packed activity mask (see `act_scale`; decode counts
+    with `seg_counts_packed`). Dead slots are implicit — `perm < 0`
+    masks the activation, so stale targets left by punishment death
+    (which no longer rewrites the syn table) never match. Identical
+    results on both paths."""
     if jax.default_backend() == "tpu":
         block = _pallas_block(syn_cell.shape[0], 8 * syn_cell.shape[1])
         if block:
@@ -217,12 +252,12 @@ def synapse_activation_conn(
 
             return synapse_activation_conn_tpu(
                 syn_cell, syn_perm, cols, bits, cell_dim,
-                perm_threshold, block=block,
+                perm_threshold, synapses, block=block,
             )
-    act_b = synapse_activation_xla(syn_cell, cols, bits, cell_dim)
-    act = act_b.astype(jnp.bfloat16)
-    conn = (act_b & (syn_perm >= perm_threshold)).astype(jnp.bfloat16)
-    return act, conn
+    act_b = synapse_activation_xla(syn_cell, cols, bits, cell_dim) & (
+        syn_perm >= 0.0
+    )
+    return pack_act_conn(act_b, syn_perm >= perm_threshold, synapses)
 
 
 def synapse_activation_xla(
@@ -283,36 +318,42 @@ def table_update_xla(syn_cell, syn_perm, act_prev, pun_word, cols, bits,
 
     ``pun_word`` is ONE i32 per column with bit g = segment g punished
     (a pre-broadcast (C, J) mask cost a table-sized s32 MXU-dot
-    materialization, ~1 ms/step at B=256). ``act_prev`` and the
-    returned activity/connected-activity are bf16 0/1 masks (the
-    MXU-native operand dtype of the count dots — see `_table_kernel`);
-    counts are exact (values <= K < 256 are representable in bf16,
-    accumulation is f32).
+    materialization, ~1 ms/step at B=256).
 
-    Returns (syn', perm', act_now bf16, potential, matching, seg_active,
-    prediction packed (W, C) uint32 — see `prediction_words`)."""
+    Synapse death is **implicit**: a slot is dead iff ``perm < 0``. The
+    syn table is never rewritten here (that full-table write was 4 B/elem
+    of pure HBM traffic to set ``-1`` on the handful of punish-killed
+    slots); the stale target ids are masked out of the activation by the
+    ``perm >= 0`` compare and cleaned up in row space the next time
+    their column is gathered for learning (`temporal_memory._learn`).
+
+    ``act_prev`` and the returned activity are **packed** masks
+    (v = act + scale*conn, see `act_scale`): one table-sized output and
+    one count-dot operand instead of two of each; counts decode exactly
+    (`seg_counts_packed`).
+
+    Returns (perm', act_now packed, potential, connected, matching,
+    seg_active, prediction packed (W, C) uint32 — see
+    `prediction_words`)."""
     G = seg_cell.shape[1]
     K = syn_cell.shape[1] // G
     # No explicit live mask (matches `_table_kernel`): free slots have
-    # act_prev == 0 and already sit at syn = -1 / perm = -1.0, so the
-    # dead select rewriting them is a bit-exact no-op.
+    # act_prev == 0 (never punished) and dead/free slots sit at
+    # perm < 0, which the activation mask excludes.
     g_lane = jnp.arange(syn_cell.shape[1], dtype=jnp.int32) // K
     pen_bit = (pun_word[:, None].astype(jnp.int32) >> g_lane) & 1
     pen = (pen_bit == 1) & (act_prev != 0)
     perm = syn_perm - jnp.where(pen, jnp.float32(punishment),
                                 jnp.float32(0.0))
-    dead = perm < 0.0
-    syn = jnp.where(dead, -1, syn_cell)
-    perm = jnp.where(dead, -1.0, perm)
-    act_b = synapse_activation_xla(syn, cols, bits, cell_dim)
-    act = act_b.astype(jnp.bfloat16)
-    conn = (act_b & (perm >= perm_threshold)).astype(jnp.bfloat16)
-    potential = seg_reduce_counts(act, G, K, out_dtype=jnp.bfloat16)
-    connected = seg_reduce_counts(conn, G, K, out_dtype=jnp.bfloat16)
+    act_b = synapse_activation_xla(syn_cell, cols, bits, cell_dim) & (
+        perm >= 0.0
+    )
+    act = pack_act_conn(act_b, perm >= perm_threshold, K)
+    potential, connected = seg_counts_packed(act, G, K)
     matching = potential >= matching_threshold
     seg_active = matching & (connected >= activation_threshold)
     prediction = prediction_words(seg_cell, seg_active, cell_dim)
-    return syn, perm, act, potential, matching, seg_active, prediction
+    return perm, act, potential, connected, matching, seg_active, prediction
 
 
 def table_update(syn_cell, syn_perm, act_prev, pun_word, cols, bits,
@@ -320,36 +361,37 @@ def table_update(syn_cell, syn_perm, act_prev, pun_word, cols, bits,
                  perm_threshold: float, matching_threshold: int,
                  activation_threshold: int):
     """Dispatch the fused full-table TM pass to the Pallas kernel on
-    TPU, XLA elsewhere. Identical results. ``pun_word`` is the (C,) i32
-    per-column punished-segment bitmask (bit g)."""
+    TPU, XLA elsewhere. Identical results (same returns as
+    `table_update_xla`). ``pun_word`` is the (C,) i32 per-column
+    punished-segment bitmask (bit g)."""
     if jax.default_backend() == "tpu":
-        # 8 table-sized tiles live at once (4 in, 4 out) before
+        # 6 table-sized tiles live at once (4 in, 2 out) before
         # pipelining, so budget per-tile bytes accordingly
         block = _pallas_block(syn_cell.shape[0], 12 * syn_cell.shape[1])
         if block:
             from .pallas_kernels import table_update_tpu
 
-            # The kernel fuses punish + death + activation + connected
-            # (the HBM-bound part) and emits bf16 0/1 activity masks —
-            # the MXU operand dtype of the count dots, so no table-sized
-            # convert pass runs between the kernel and the dots. The
-            # small per-segment counts and prediction are faster as XLA
-            # dots/one-hots outside (in-kernel reductions over the G
+            # The kernel fuses punish + implicit death + activation +
+            # connected (the HBM-bound part) and emits ONE packed
+            # activity mask in the count dot's MXU operand dtype — no
+            # table-sized convert pass runs between the kernel and the
+            # dot, the syn table is read-only (stale dead slots are
+            # masked by perm < 0), and one dot + an exact (C, G) decode
+            # replaces two dots. The small per-segment counts and
+            # prediction stay outside (in-kernel reductions over the G
             # axis measured slower).
             G = seg_cell.shape[1]
             K = syn_cell.shape[1] // G
-            syn, perm, act, conn = table_update_tpu(
+            perm, act = table_update_tpu(
                 syn_cell, syn_perm, act_prev, pun_word, cols, bits,
                 cell_dim, K, punishment, perm_threshold, block=block,
             )
-            potential = seg_reduce_counts(act, G, K,
-                                          out_dtype=jnp.bfloat16)
-            connected = seg_reduce_counts(conn, G, K,
-                                          out_dtype=jnp.bfloat16)
+            potential, connected = seg_counts_packed(act, G, K)
             matching = potential >= matching_threshold
             seg_active = matching & (connected >= activation_threshold)
             prediction = prediction_words(seg_cell, seg_active, cell_dim)
-            return syn, perm, act, potential, matching, seg_active, prediction
+            return (perm, act, potential, connected, matching, seg_active,
+                    prediction)
     return table_update_xla(syn_cell, syn_perm, act_prev, pun_word, cols,
                             bits, seg_cell, cell_dim, punishment,
                             perm_threshold, matching_threshold,
@@ -402,6 +444,29 @@ def seg_reduce_counts(flat_mask: jnp.ndarray, num_segments: int,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(out_dtype)
+
+
+def seg_counts_packed(packed: jnp.ndarray, num_segments: int,
+                      synapses: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(C, G*K) packed activity (v = act + scale*conn, `act_scale`) ->
+    (potential, connected) per-segment counts via ONE MXU dot + an exact
+    decode: r = pot + scale*connc with both counts <= synapses < scale
+    (a power of two), so connc = floor(r/scale) and pot = r - scale*connc
+    are exact in f32 (r <= synapses*(1+scale) << 2^24).
+
+    Counts are emitted bf16 when exact there (synapses <= 256) for the
+    same padded-traffic reason as `seg_reduce_counts`."""
+    scale = act_scale(synapses)
+    m = _seg_matrix(num_segments, synapses)
+    r = jax.lax.dot_general(
+        packed, m.astype(packed.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    connected = jnp.floor(r * (1.0 / scale))
+    potential = r - scale * connected
+    out_dtype = jnp.bfloat16 if synapses <= 256 else jnp.float32
+    return potential.astype(out_dtype), connected.astype(out_dtype)
 
 
 def compact_first_k(valid: jnp.ndarray, values: jnp.ndarray,

@@ -169,38 +169,60 @@ def _act_kernel(*refs, cell_dim: int, num_active: int, words: int,
     act_ref[:] = act.astype(jnp.bfloat16)  # MXU operand of the count dots
 
 
+def _pack_v(act, perm, perm_threshold: float, scale: int, dtype):
+    """Packed activity value v = act + scale*conn (`active_set.act_scale`);
+    built as f32 selects then converted to the count dot's operand dtype."""
+    one = jnp.float32(1.0)
+    return jnp.where(
+        act,
+        jnp.where(perm >= perm_threshold, one + scale, one),
+        jnp.float32(0.0),
+    ).astype(dtype)
+
+
 def _act_conn_kernel(*refs, cell_dim: int, num_active: int,
-                     words: int, perm_threshold: float, bisect_L: int,
-                     block: int):
+                     words: int, perm_threshold: float, scale: int,
+                     v_dtype, bisect_L: int, block: int):
     """Inference-path variant: activation AND connected-activity in one
-    pass (the frozen table is read-only, so unlike `_table_kernel` it
-    writes no syn/perm back — the connected compare otherwise costs a
-    separate XLA pass re-reading the f32 permanence table)."""
-    *match_refs, syn_ref, perm_ref, act_ref, conn_ref = refs
+    pass over the frozen (read-only) table, emitted as ONE packed mask
+    (v = act + scale*conn — the separate conn mask cost a second
+    table-sized write + count-dot operand). Dead slots are implicit:
+    perm < 0 masks the activation (punishment death no longer rewrites
+    the syn table, see `_table_kernel`)."""
+    *match_refs, syn_ref, perm_ref, v_ref = refs
     syn = syn_ref[:]
+    perm = perm_ref[:]
     col = syn // cell_dim
     lo = syn - col * cell_dim
     bitpos = (lo % 32).astype(jnp.uint32)
     matched = _matched_any(match_refs, col, lo, num_active=num_active,
                            words=words, bisect_L=bisect_L, block=block)
-    act = ((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)
-    act_ref[:] = act.astype(jnp.bfloat16)
-    conn_ref[:] = (act & (perm_ref[:] >= perm_threshold)).astype(
-        jnp.bfloat16
+    act = (((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)) & (
+        perm >= 0.0
     )
+    v_ref[:] = _pack_v(act, perm, perm_threshold, scale, v_dtype)
 
 
 def _table_kernel(*refs, cell_dim: int, num_active: int, words: int,
                   punishment: float, perm_threshold: float,
-                  synapses: int, bisect_L: int, block: int):
-    """Fused per-tile: punishment decrement + synapse death + active-set
-    compare + connected-compare — one HBM read and one write of the
-    synapse tables per step instead of separate punish and activation
-    passes. Activity and connected-activity are emitted as **bf16 0/1**:
-    they are consumed only as MXU operands of the per-segment count
-    dots, and emitting the MXU-native dtype here deletes ~2.5 ms/step of
-    table-sized pred->s32 convert + re-compare passes XLA otherwise
-    materializes between the kernel and the dots (measured, B=256).
+                  synapses: int, scale: int, v_dtype, bisect_L: int,
+                  block: int):
+    """Fused per-tile: punishment decrement + implicit synapse death +
+    active-set compare + connected-compare — one HBM read of the synapse
+    tables and one write of the permanences per step instead of separate
+    punish and activation passes.
+
+    **Implicit death**: a slot is dead iff perm < 0. The syn table is
+    read-only here — rewriting it to -1 on the handful of punish-killed
+    slots cost a full-table 4 B/elem write every step; instead the
+    `perm >= 0` mask keeps stale targets out of the activation, and the
+    learning phase cleans stale slots in row space when it next gathers
+    their column (`temporal_memory._learn`).
+
+    Activity + connected-activity are emitted as ONE **packed** value
+    (v = act + scale*conn, `active_set.act_scale`) in the count dot's
+    MXU operand dtype: one table-sized output + one dot operand instead
+    of two of each, decoded exactly outside (`seg_counts_packed`).
     (The counts and prediction stay outside: in-kernel G-axis reductions
     measured slower than XLA's dots.)
 
@@ -210,36 +232,33 @@ def _table_kernel(*refs, cell_dim: int, num_active: int, words: int,
     table-sized s32 intermediate (~1 ms/step at B=256) that this
     per-lane bit extract provides for free."""
     (*match_refs, syn_ref, perm_ref, actprev_ref, pun_ref,
-     syn_out, perm_out, act_out, conn_out) = refs
+     perm_out, v_out) = refs
     syn = syn_ref[:]
     perm = perm_ref[:]
-    # act_prev is bf16 0/1; one bf16 `!= 0` is fine, but a SECOND bf16
-    # operand compared `!= 0` here trips a Mosaic i1-relayout bug — the
-    # punishment mask therefore rides as an integer bit word. The word
-    # is carried as u8 when G <= 8 (an s32 (C, 1) operand lane-pads to
-    # 128 and relayout-copies ~0.4 ms/step at B=256; u8 pads 4x less).
+    # act_prev is the packed activity; one `!= 0` compare on it is fine,
+    # but a SECOND bf16 operand compared `!= 0` here trips a Mosaic
+    # i1-relayout bug — the punishment mask therefore rides as an
+    # integer bit word. The word is carried as u8 when G <= 8 (an s32
+    # (C, 1) operand lane-pads to 128 and relayout-copies ~0.4 ms/step
+    # at B=256; u8 pads 4x less).
     # No explicit live mask: free slots have act_prev == 0 (never
-    # punished) and already sit at syn = -1 / perm = -1.0, so the dead
-    # select rewriting them is a bit-exact no-op; live synapses always
-    # have perm >= 0 (death fires exactly when one crosses below).
+    # punished) and dead/free slots sit at perm < 0, which the
+    # activation mask excludes.
     g_lane = jax.lax.broadcasted_iota(jnp.int32, syn.shape, 1) // synapses
     pen_bit = (pun_ref[:].astype(jnp.int32) >> g_lane) & 1
     pen = (pen_bit == 1) & (actprev_ref[:] != 0)
     perm = perm - jnp.where(pen, jnp.float32(punishment), jnp.float32(0.0))
-    dead = perm < 0.0
-    syn = jnp.where(dead, -1, syn)
-    perm = jnp.where(dead, jnp.float32(-1.0), perm)
 
     col = syn // cell_dim
     lo = syn - col * cell_dim
     bitpos = (lo % 32).astype(jnp.uint32)
     matched = _matched_any(match_refs, col, lo, num_active=num_active,
                            words=words, bisect_L=bisect_L, block=block)
-    act = ((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)
-    syn_out[:] = syn
+    act = (((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)) & (
+        perm >= 0.0
+    )
     perm_out[:] = perm
-    act_out[:] = act.astype(jnp.bfloat16)
-    conn_out[:] = (act & (perm >= perm_threshold)).astype(jnp.bfloat16)
+    v_out[:] = _pack_v(act, perm, perm_threshold, scale, v_dtype)
 
 
 def _matcher_inputs(cols, bits, J: int):
@@ -262,9 +281,9 @@ def _matcher_inputs(cols, bits, J: int):
 
 
 def table_update_tpu(
-    syn_cell,                # (C, J) int32
+    syn_cell,                # (C, J) int32 (read-only: death is implicit)
     syn_perm,                # (C, J) float32
-    act_prev,                # (C, J) bf16 0/1
+    act_prev,                # (C, J) packed activity (act_scale encoding)
     pun_word,                # (C,) int32 punished-segment bitmask (bit g)
     cols,                    # (A,) int32
     bits,                    # (A, W) uint32
@@ -275,9 +294,11 @@ def table_update_tpu(
     block: int = 128,
     interpret: bool = False,
 ):
-    """Returns (syn', perm', act_now bf16, conn_now bf16) — the fused
-    punish/death/activation/connected table pass, updating the synapse
-    tables in place."""
+    """Returns (perm', act_now packed) — the fused punish/implicit-death/
+    activation/connected table pass, updating the permanences in place.
+    Decode per-segment counts with `active_set.seg_counts_packed`."""
+    from .active_set import act_dtype, act_scale
+
     C, J = syn_cell.shape
     A, W = bits.shape
     block = min(block, C)
@@ -285,20 +306,20 @@ def table_update_tpu(
 
     bisect_L, match_ops, match_specs = _matcher_inputs(cols, bits, J)
     n_match = len(match_ops)
+    v_dtype = act_dtype(synapses)
     kernel = functools.partial(
         _table_kernel, cell_dim=cell_dim, num_active=A, words=W,
         punishment=punishment, perm_threshold=perm_threshold,
-        synapses=synapses, bisect_L=bisect_L, block=block,
+        synapses=synapses, scale=act_scale(synapses), v_dtype=v_dtype,
+        bisect_L=bisect_L, block=block,
     )
     tile = lambda i: (i, 0)
     big = lambda: pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((C, J), jnp.int32),
             jax.ShapeDtypeStruct((C, J), jnp.float32),
-            jax.ShapeDtypeStruct((C, J), jnp.bfloat16),
-            jax.ShapeDtypeStruct((C, J), jnp.bfloat16),
+            jax.ShapeDtypeStruct((C, J), v_dtype),
         ),
         grid=(C // block,),
         in_specs=[
@@ -306,13 +327,13 @@ def table_update_tpu(
             big(), big(), big(),
             pl.BlockSpec((block, 1), tile, memory_space=pltpu.VMEM),
         ],
-        out_specs=(big(), big(), big(), big()),
-        # update the synapse tables in place (syn/perm operands ->
-        # outputs 0, 1): saves XLA the defensive operand copies
-        input_output_aliases={n_match: 0, n_match + 1: 1},
+        out_specs=(big(), big()),
+        # update the permanence table in place (perm operand ->
+        # output 0): saves XLA the defensive operand copy
+        input_output_aliases={n_match + 1: 0},
         interpret=interpret,
     )(*match_ops, syn_cell, syn_perm,
-      act_prev.astype(jnp.bfloat16),
+      act_prev,
       pun_word.reshape(C, 1).astype(
           jnp.uint8 if J // synapses <= 8 else jnp.int32
       ))
@@ -473,31 +494,34 @@ def synapse_activation_conn_tpu(
     bits: jnp.ndarray,       # (A, W) uint32
     cell_dim: int,
     perm_threshold: float,
+    synapses: int,
     block: int = 256,
     interpret: bool = False,
 ):
     """Fused activation + connected-activity over a frozen table (the
-    inference forward pass). Returns (act bf16, conn bf16)."""
+    inference forward pass). Returns ONE packed activity mask
+    (v = act + scale*conn; decode with `active_set.seg_counts_packed`)."""
+    from .active_set import act_dtype, act_scale
+
     C, J = syn_cell.shape
     A, W = bits.shape
     block = min(block, C)
     assert C % block == 0, (C, block)
 
     bisect_L, match_ops, match_specs = _matcher_inputs(cols, bits, J)
+    v_dtype = act_dtype(synapses)
     kernel = functools.partial(
         _act_conn_kernel, cell_dim=cell_dim, num_active=A, words=W,
-        perm_threshold=perm_threshold, bisect_L=bisect_L, block=block,
+        perm_threshold=perm_threshold, scale=act_scale(synapses),
+        v_dtype=v_dtype, bisect_L=bisect_L, block=block,
     )
     big = lambda: pl.BlockSpec((block, J), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((C, J), jnp.bfloat16),
-            jax.ShapeDtypeStruct((C, J), jnp.bfloat16),
-        ),
+        out_shape=jax.ShapeDtypeStruct((C, J), v_dtype),
         grid=(C // block,),
         in_specs=[*match_specs, big(), big()],
-        out_specs=(big(), big()),
+        out_specs=big(),
         interpret=interpret,
     )(*match_ops, syn_cell, syn_perm)

@@ -405,7 +405,10 @@ class OracleTM:
                 )
             jax_syn = {}
             for k in range(K):
-                if cell_tab[c, g, k] >= 0:
+                # dead iff perm < 0: punishment death leaves the stale
+                # target id in synapse_cell (implicit-death convention,
+                # see TMState docstring) — skip those slots
+                if cell_tab[c, g, k] >= 0 and perm_tab[c, g, k] >= 0:
                     t = int(cell_tab[c, g, k])
                     if t in jax_syn:
                         raise ParityError(f"slot {s} duplicate synapse {t}")

@@ -65,10 +65,12 @@ def oracle_from_state(cfg, tm_state) -> OracleTM:
         c, g = divmod(s, G)
         if seg_cell[c, g] < D:
             o.owner[s] = int(c * D + seg_cell[c, g])
+            # dead iff perm < 0 (implicit punishment death leaves stale
+            # target ids behind, see TMState docstring)
             o.synapses[s] = {
                 int(cell_tab[c, g, k]): float(perm_tab[c, g, k])
                 for k in range(K)
-                if cell_tab[c, g, k] >= 0
+                if cell_tab[c, g, k] >= 0 and perm_tab[c, g, k] >= 0
             }
 
     from .bami import bits_to_cell_set

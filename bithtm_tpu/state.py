@@ -19,7 +19,9 @@ TPU layout notes:
     ``(A,) cols + (A, W) uint32 bitmasks`` (see `ops/active_set.py`) —
     the losslessly exact encoding of HTM's fixed top-k sparsity.
   * Sentinels: ``synapse_cell == -1`` marks a free synapse slot
-    (reference: packed `invalid_output_edge`, `projections.py:36`).
+    (reference: packed `invalid_output_edge`, `projections.py:36`);
+    ``synapse_perm < 0`` marks a dead one (implicit punishment death
+    may leave a stale target id behind — see the TMState docstring).
 """
 
 from __future__ import annotations
@@ -55,7 +57,13 @@ class TMState(struct.PyTreeNode):
     Pool (replaces `SparseProjection`'s dual-index DynamicArray2D graph,
     `projections.py:27-44`):
       synapse_cell: (C, G*K) int32  global presynaptic cell, -1 free
-      synapse_perm: (C, G*K) float32  permanence, -1.0 where free
+      synapse_perm: (C, G*K) float32  permanence; a slot is dead iff
+        perm < 0 (free slots sit at the -1.0 sentinel). Punishment death
+        leaves the stale target id in synapse_cell (the table kernel no
+        longer rewrites the syn table — a full-table write per step);
+        the perm < 0 mask keeps stale targets out of every activation,
+        and the learning phase rewrites stale slots to (-1, -1.0) when
+        it next gathers their column.
       seg_cell:     (C, G) int32  owner cell within column, D = unallocated
 
     Recurrent state (mirrors `TemporalMemory.State`, `networks.py:39-46`,
@@ -63,14 +71,17 @@ class TMState(struct.PyTreeNode):
       active_cols: (A,) int32     previous step's active columns
       active_bits: (A, W) uint32  previous active cells (compact bitmask)
       winner_bits: (A, W) uint32  previous winner cells (subset of active)
-      synapse_act: (C, G*K) bfloat16 0/1  per-synapse-slot activity wrt
-        the previous step's active set, computed by the forward pass on
-        the post-step table. The table does not change between one
-        step's forward pass and the next step's learning phase, so this
-        is exactly the `act_prev` the learning phase needs — caching it
-        halves the number of full-table activation passes per step.
-        bf16 (not bool) because it doubles as an MXU operand of the
-        per-segment count dots (see `ops/pallas_kernels._table_kernel`).
+      synapse_act: (C, G*K) packed per-synapse-slot activity wrt the
+        previous step's active set, computed by the forward pass on the
+        post-step table: v = act + scale*conn (`ops.active_set.act_scale`;
+        nonzero = active, v > 1 = also connected; bf16 when K <= 127,
+        f32 above). The table does not change between one step's forward
+        pass and the next step's learning phase, so this is exactly the
+        `act_prev` the learning phase needs — caching it halves the
+        number of full-table activation passes per step; packing conn
+        into the same value halves the forward pass's mask-output
+        traffic and its count-dot operand reads (one dot + exact decode,
+        `ops.active_set.seg_counts_packed`).
       prediction:  (W, C) uint32  packed cell predictive state for the
         next step (bit d of word [w, c] = cell w*32+d of column c
         predictive; see `ops.active_set.prediction_words`). Word-major
@@ -152,6 +163,8 @@ def sp_init(key: jax.Array, cfg: SPConfig) -> SPState:
 def tm_init(cfg: TMConfig) -> TMState:
     """Empty pool: zero segments, zero synapses (`projections.py:28-44`
     starts with zero output rows; `networks.py:59-65` empty state)."""
+    from .ops.active_set import act_dtype
+
     C, D, G, K = (cfg.column_dim, cfg.cell_dim, cfg.segments_per_column,
                   cfg.synapse_capacity)
     A, W = cfg.active_columns, cfg.cell_words
@@ -162,7 +175,7 @@ def tm_init(cfg: TMConfig) -> TMState:
         active_cols=jnp.zeros((A,), jnp.int32),
         active_bits=jnp.zeros((A, W), jnp.uint32),
         winner_bits=jnp.zeros((A, W), jnp.uint32),
-        synapse_act=jnp.zeros((C, G * K), jnp.bfloat16),
+        synapse_act=jnp.zeros((C, G * K), act_dtype(K)),
         prediction=jnp.zeros((W, C), jnp.uint32),
         matching_word=jnp.zeros((C,), jnp.int32),
         step=jnp.zeros((), jnp.int32),

@@ -32,14 +32,18 @@ def validate_tm_state(cfg, tm) -> None:
 
     if not ((seg_cell >= 0) & (seg_cell <= D)).all():
         fail("seg_cell out of [0, D] range")
-    live = syn >= 0
-    if not (syn[live] < N).all():
+    # a slot is live iff perm >= 0; slots with syn >= 0 but perm < 0 are
+    # stale punishment-death victims awaiting row-space cleanup (the
+    # implicit-death convention, see TMState docstring). Stale ids were
+    # once valid targets, so the range check covers them too.
+    live = (syn >= 0) & (perm >= 0.0)
+    if not (syn[syn >= 0] < N).all():
         fail("synapse target cell out of range")
     if np.isnan(perm).any():
         fail("NaN permanence")
-    if not (perm[live] >= 0.0).all():
-        fail("live synapse with negative permanence (missed death)")
-    if not (perm[~live] == -1.0).all():
+    if not (syn[perm >= 0.0] >= 0).all():
+        fail("live permanence on a free (syn == -1) slot")
+    if not (perm[syn < 0] == -1.0).all():
         fail("free slot with non-sentinel permanence")
     # synapses may only live on allocated segments
     unalloc = seg_cell == D
@@ -57,18 +61,27 @@ def validate_tm_state(cfg, tm) -> None:
     if not (np.diff(cols) >= 0).all():
         fail("active_cols not sorted")
     # cached forward activity must equal the post-step table's
-    # activation wrt the carried compact active set — a per-entry
-    # re-derivation (stronger than the old carried-count cross-check)
+    # activation wrt the carried compact active set — an exact per-entry
+    # re-derivation of the packed value v = act + scale*conn
+    # (`ops.active_set.act_scale`; 0, 1 and 1+scale are all bf16-exact)
     bits = np.asarray(tm.active_bits)                  # (A, W)
     d = np.arange(D)
     rows = (bits[:, d // 32] >> (d % 32)) & 1          # (A, D)
     dense = np.zeros((C, D), bool)
     dense[cols] = rows != 0
     active_cell = dense.reshape(-1)                    # (N,)
-    act = (np.asarray(tm.synapse_act) != 0).reshape(C, G, K)
+    from ..ops.active_set import act_scale
+
+    scale = act_scale(K)
+    v = np.asarray(tm.synapse_act, np.float32).reshape(C, G, K)
     expect_act = live & active_cell[np.clip(syn, 0, N - 1)]
-    if not (act == expect_act).all():
+    expect_conn = expect_act & (perm >= cfg.permanence_threshold)
+    expect_v = np.where(
+        expect_act, np.where(expect_conn, 1.0 + scale, 1.0), 0.0
+    ).astype(np.float32)
+    if not (v == expect_v).all():
         fail("synapse_act inconsistent with the table + active set")
+    act = v != 0
     # the carried matching_word must equal the flags derived from that
     # activity (the same derivation the step uses at its active rows)
     from ..ops.active_set import matching_dense_host, prediction_dense_host

@@ -131,6 +131,47 @@ def test_seg_reduce_counts_dtypes():
     )
 
 
+def test_packed_activity_counts_exact():
+    """The packed activity encoding (v = act + scale*conn,
+    `act_scale`) must decode to exact per-segment (potential, connected)
+    counts via `seg_counts_packed`, across the dtype boundary: bf16 for
+    K <= 127 (scale <= 128), f32 above. Worst case exercised: every
+    slot active AND connected (counts == K, r == K*(1+scale))."""
+    from bithtm_tpu.ops.active_set import (
+        act_dtype,
+        act_scale,
+        pack_act_conn,
+        seg_counts_packed,
+    )
+
+    rng = np.random.RandomState(7)
+    for K, want_dtype in ((48, jnp.bfloat16), (64, jnp.bfloat16),
+                          (127, jnp.bfloat16), (128, jnp.float32)):
+        scale = act_scale(K)
+        assert scale > K and (scale & (scale - 1)) == 0
+        assert act_dtype(K) == want_dtype
+        C, G = 8, 4
+        act = rng.rand(C, G * K) < 0.5
+        conn = act & (rng.rand(C, G * K) < 0.5)
+        # include the all-on worst case on one row
+        act[0], conn[0] = True, True
+        v = pack_act_conn(jnp.asarray(act), jnp.asarray(conn), K)
+        assert v.dtype == want_dtype
+        # the packed value is exactly decodable entry-wise
+        vf = np.asarray(v, np.float32)
+        np.testing.assert_array_equal(vf != 0, act)
+        np.testing.assert_array_equal(vf > 1, conn)
+        pot, connc = seg_counts_packed(v, G, K)
+        np.testing.assert_array_equal(
+            np.asarray(pot, np.int32),
+            act.reshape(C, G, K).sum(-1).astype(np.int32),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(connc, np.int32),
+            conn.reshape(C, G, K).sum(-1).astype(np.int32),
+        )
+
+
 def test_prediction_words_matches_or_chain():
     """The lax.reduce OR over the G axis must equal the per-g OR chain."""
     from bithtm_tpu.ops.active_set import prediction_words

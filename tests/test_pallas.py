@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bithtm_tpu.ops.active_set import (
+    pack_act_conn,
     pack_bits,
     synapse_activation_xla,
     table_update_xla,
@@ -58,23 +59,36 @@ def test_table_update_kernel_matches_xla():
         cols = np.sort(rng.choice(C, A, replace=False)).astype(np.int32)
         rows = rng.rand(A, D) < 0.5
         bits = pack_bits(jnp.asarray(rows))
+        act_prev_packed = pack_act_conn(
+            jnp.asarray(act_prev), jnp.asarray(act_prev & (perm >= 0.05)),
+            K,
+        )
         ref = table_update_xla(
-            jnp.asarray(syn), jnp.asarray(perm), jnp.asarray(act_prev),
+            jnp.asarray(syn), jnp.asarray(perm), act_prev_packed,
             jnp.asarray(pun_word), jnp.asarray(cols), bits,
             jnp.asarray(seg_cell), D, 0.03, 0.05, 2, 1,
         )
         got = table_update_tpu(
-            jnp.asarray(syn), jnp.asarray(perm), jnp.asarray(act_prev),
+            jnp.asarray(syn), jnp.asarray(perm), act_prev_packed,
             jnp.asarray(pun_word), jnp.asarray(cols), bits, D, K,
             0.03, 0.05, block=8, interpret=True,
         )
-        # kernel covers the fused punish/death/activation/connected part
-        # (the counts/prediction tail runs as shared XLA on both paths)
-        for r, g in zip(ref[:3], got[:3]):
+        # kernel covers the fused punish/implicit-death/activation/
+        # connected part, returning (perm', packed act) — the counts/
+        # prediction tail runs as shared XLA on both paths
+        for r, g in zip(ref[:2], got):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
-        conn_ref = (np.asarray(ref[2]) != 0) & (np.asarray(ref[1]) >= 0.05)
+        # decode sanity on the packed mask: nonzero = active, > 1 = conn
+        v = np.asarray(got[1], np.float32)
+        perm_new = np.asarray(got[0])
+        expect_act = (
+            np.asarray(synapse_activation_xla(
+                jnp.asarray(syn), jnp.asarray(cols), bits, D))
+            & (perm_new >= 0)
+        )
+        np.testing.assert_array_equal(v != 0, expect_act)
         np.testing.assert_array_equal(
-            np.asarray(got[3]) != 0, conn_ref
+            v > 1, expect_act & (perm_new >= 0.05)
         )
 
 
@@ -129,21 +143,33 @@ def test_act_conn_kernel_matches_xla():
         C, G, K, A = 16, 4, 8, 3
         N = C * D
         syn = rng.randint(-1, N, size=(C, G * K)).astype(np.int32)
+        # include stale punishment-death victims (syn >= 0, perm < 0):
+        # the implicit-death mask must keep them out of the activation
         perm = np.where(
-            syn >= 0, rng.rand(C, G * K).astype(np.float32), -1.0
+            syn >= 0,
+            rng.rand(C, G * K).astype(np.float32) * 1.2 - 0.2,
+            -1.0,
         ).astype(np.float32)
         cols = np.sort(rng.choice(C, A, replace=False)).astype(np.int32)
         rows = rng.rand(A, D) < 0.5
         bits = pack_bits(jnp.asarray(rows))
         act_ref = np.asarray(synapse_activation_xla(
-            jnp.asarray(syn), jnp.asarray(cols), bits, D))
-        act, conn = synapse_activation_conn_tpu(
+            jnp.asarray(syn), jnp.asarray(cols), bits, D)) & (perm >= 0)
+        v = np.asarray(synapse_activation_conn_tpu(
             jnp.asarray(syn), jnp.asarray(perm), jnp.asarray(cols),
-            bits, D, 0.5, block=8, interpret=True,
+            bits, D, 0.5, K, block=8, interpret=True,
+        ), np.float32)
+        np.testing.assert_array_equal(v != 0, act_ref)
+        np.testing.assert_array_equal(v > 1, act_ref & (perm >= 0.5))
+        # and vs the XLA dispatch form (identical packed encoding)
+        from bithtm_tpu.ops.active_set import synapse_activation_conn
+
+        ref_v = synapse_activation_conn(
+            jnp.asarray(syn), jnp.asarray(perm), jnp.asarray(cols),
+            bits, D, 0.5, K,
         )
-        np.testing.assert_array_equal(np.asarray(act) != 0, act_ref)
         np.testing.assert_array_equal(
-            np.asarray(conn) != 0, act_ref & (perm >= 0.5)
+            v, np.asarray(ref_v, np.float32)
         )
 
 def test_bisect_matcher_matches_xla():
@@ -204,17 +230,18 @@ def test_bisect_table_update_matches_xla():
     rows = rng.rand(A, D) < 0.5
     bits = pack_bits(jnp.asarray(rows))
     seg_cell = rng.randint(0, D + 1, size=(C, G)).astype(np.int32)
+    act_prev_packed = pack_act_conn(
+        jnp.asarray(act_prev), jnp.asarray(act_prev & (perm >= 0.05)), K
+    )
     ref = table_update_xla(
-        jnp.asarray(syn), jnp.asarray(perm), jnp.asarray(act_prev),
+        jnp.asarray(syn), jnp.asarray(perm), act_prev_packed,
         jnp.asarray(pun_word), jnp.asarray(cols), bits,
         jnp.asarray(seg_cell), D, 0.03, 0.05, 2, 1,
     )
     got = table_update_tpu(
-        jnp.asarray(syn), jnp.asarray(perm), jnp.asarray(act_prev),
+        jnp.asarray(syn), jnp.asarray(perm), act_prev_packed,
         jnp.asarray(pun_word), jnp.asarray(cols), bits, D, K,
         0.03, 0.05, block=128, interpret=True,
     )
-    for r, g in zip(ref[:3], got[:3]):
+    for r, g in zip(ref[:2], got):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
-    conn_ref = (np.asarray(ref[2]) != 0) & (np.asarray(ref[1]) >= 0.05)
-    np.testing.assert_array_equal(np.asarray(got[3]) != 0, conn_ref)

@@ -123,19 +123,42 @@ def test_invariant_checker_catches_corruption():
         validate_state(cfg, host.replace(
             tm=host.tm.replace(synapse_cell=bad_syn)))
 
-    # missed synapse death (live slot, negative permanence)
-    live = np.array(host.tm.synapse_cell) >= 0
-    assert live.any()
-    c, j = np.argwhere(live)[0]
+    # non-sentinel permanence on a free (syn == -1) slot
+    free = np.array(host.tm.synapse_cell) < 0
+    assert free.any()
+    c, j = np.argwhere(free)[0]
     bad_perm = np.array(host.tm.synapse_perm)
-    bad_perm[c, j] = -0.5
+    bad_perm[c, j] = 0.4
     with pytest.raises(StateInvariantError):
         validate_state(cfg, host.replace(
             tm=host.tm.replace(synapse_perm=bad_perm)))
 
-    # stale cached activity
+    # stale cached activity: flip one entry's active bit (the packed
+    # encoding is nonzero iff active — see ops.active_set.act_scale)
+    live = (np.array(host.tm.synapse_cell) >= 0) & (
+        np.array(host.tm.synapse_perm) >= 0
+    )
+    assert live.any()
+    c, j = np.argwhere(live)[0]
     bad_act = np.array(host.tm.synapse_act)
-    bad_act[c, j] = 1 - bad_act[c, j]  # flip the 0/1 bf16 mask entry
+    bad_act[c, j] = 1.0 if bad_act[c, j] == 0 else 0.0
+    with pytest.raises(StateInvariantError):
+        validate_state(cfg, host.replace(
+            tm=host.tm.replace(synapse_act=bad_act)))
+
+    # corrupted conn bit in the packed activity carry (active entry
+    # reporting the wrong connectedness — v = 1 vs 1 + scale)
+    from bithtm_tpu.ops.active_set import act_scale
+
+    scale = float(act_scale(cfg.tm.synapse_capacity))
+    v = np.array(host.tm.synapse_act, np.float32)
+    on = np.argwhere(v != 0)
+    assert len(on), "soaked state should have active synapses"
+    c, j = on[0]
+    bad_act = np.array(host.tm.synapse_act)
+    bad_act[c, j] = np.asarray(
+        1.0 + scale if v[c, j] == 1.0 else 1.0, bad_act.dtype
+    )
     with pytest.raises(StateInvariantError):
         validate_state(cfg, host.replace(
             tm=host.tm.replace(synapse_act=bad_act)))
