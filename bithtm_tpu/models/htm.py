@@ -89,6 +89,7 @@ def htm_step(
                 cfg.tm, state.tm, sub, sp_out.active_columns,
                 learning, compute_winner,
                 detailed_metrics=detailed_metrics,
+                col_active=sp_out.active_mask,
             )
         else:
             tm_state, tm_out = temporal_memory(

@@ -216,22 +216,32 @@ def _allocate(cfg: TMConfig, segcell_rows, syn_rows, match_rows, unacc):
 
 
 def _select_and_fill(pri, n_grow, cand_cell, free, samp, method,
-                     cell_bits: int | None = None):
+                     idx_bits: int | None = None):
     """Growth-candidate selection + free-slot fill, shared core of
     `_grow` (replace_free semantics, `utils.py:44-76`): per row, choose
     the ``n_grow[i]`` smallest finite priorities and write them into the
     first free slots.
 
-    Three methods choosing the **identical candidate set** (away from
+    Four methods choosing the **identical candidate set** (away from
     measure-zero priority ties) but placing it differently — placement
     within a segment is semantically free (a segment is a *set* of
     synapses; the oracle adopts grown sets per slot, not positions):
-      * ``sortfill_packed`` (default when the cell id fits, see `_grow`)
-        — ``pri`` is a uint32 key with the candidate's cell id in the
-        low ``cell_bits`` bits and i.i.d. random bits above (invalid =
-        0xFFFFFFFF, which no valid key reaches: valid keys keep bit 31
-        clear); ONE payload-free `lax.sort` both ranks and carries the
-        candidates, halving the sorted bytes of ``sortfill``.
+      * ``sortfill_packed_cell`` (default when the cell id fits, see
+        `_grow`) — ``pri`` is a uint32 key with the candidate's cell id
+        in the low ``idx_bits`` bits and i.i.d. random bits above
+        (invalid = 0xFFFFFFFF, which no valid key reaches: valid keys
+        keep bit 31 clear); ONE payload-free `lax.sort` both ranks and
+        carries the candidates, halving the sorted bytes of
+        ``sortfill`` with no decode step.
+      * ``sortfill_packed_idx`` (default for large cell spaces) —
+        ``pri`` is an int32 key with the candidate's **list index** in
+        the low ``idx_bits`` bits and i.i.d. random bits in bits
+        [idx_bits, 29] (invalid = 0x7FFFFFFF, unreachable: valid keys
+        keep bits 30-31 clear); the payload-free s32 sort measured
+        1.9x the f32+s32 pair sort at (64, 656, 768) on v5e, and a
+        fused compare-select-reduce maps the chosen indices back to
+        cells from the shared candidate list (a gather would run on
+        the scalar core, measured 8x slower than the fused map).
       * ``sortfill`` — one `lax.sort` of (priority f32, candidate s32)
         pairs; the r-th smallest priority fills the r-th free slot.
         ~2x faster than pairwise on TPU at (L, Wc) = (128, 128): no
@@ -246,14 +256,30 @@ def _select_and_fill(pri, n_grow, cand_cell, free, samp, method,
     L, Wc = pri.shape
     K = free.shape[-1]
     free_rank = rank_ascending(free)                             # (L, K)
-    if method == "sortfill_packed":
-        sent = jnp.uint32(0xFFFFFFFF)
+    if method in ("sortfill_packed_cell", "sortfill_packed_idx"):
+        if method == "sortfill_packed_cell":
+            sent = jnp.uint32(0xFFFFFFFF)
+        else:
+            sent = jnp.int32(0x7FFFFFFF)
         n_valid = (pri != sent).sum(axis=-1, dtype=jnp.int32)
         n_chosen = jnp.minimum(n_grow, n_valid)                  # (L,)
         sorted_key = jax.lax.sort(pri, dimension=-1, is_stable=False)
         kk = min(samp, Wc)                                       # n_grow <= samp
-        low = jnp.uint32((1 << cell_bits) - 1)
-        chosen_cell = (sorted_key[:, :kk] & low).astype(jnp.int32)
+        low = pri.dtype.type((1 << idx_bits) - 1)
+        if method == "sortfill_packed_cell":
+            chosen_cell = (sorted_key[:, :kk] & low).astype(jnp.int32)
+        else:
+            chosen_idx = (sorted_key[:, :kk] & low).astype(jnp.int32)
+            # index -> cell against the shared candidate list, fused
+            # compare-select-reduce (never materialized at (L, kk, Wc));
+            # sentinel rows decode to an out-of-range or arbitrary
+            # index, but land only in slots with free_rank >= n_chosen,
+            # which wrote_l never writes.
+            chosen_cell = jnp.sum(
+                (chosen_idx[:, :, None]
+                 == jnp.arange(Wc, dtype=jnp.int32)) * cand_cell,
+                axis=-1, dtype=jnp.int32,
+            )                                                    # (L, kk)
         r = jnp.arange(kk, dtype=jnp.int32)
         sel = free_rank[:, None, :] == r[:, None]                # (L, kk, K)
         gathered = jnp.sum(
@@ -353,35 +379,48 @@ def _grow(cfg: TMConfig, key, syn_rows, perm_rows, learn_rows,
 
     # Random priorities; existing targets and non-winner slots are
     # excluded (projections.py:120-121's put_along_axis(..., inf)
-    # trick). When the global cell id fits in <= 16 bits the priority
-    # key embeds it (``sortfill_packed``): candidates are distinct
-    # cells, so valid keys never tie exactly, and >= 15 i.i.d. random
-    # high bits make random-bit collisions (which fall back to
-    # order-by-cell-id among the collided pair) a <= 0.05%-of-rows
-    # event — the grown set stays a uniform random sample to that
-    # tolerance. Larger cell spaces (e.g. 16K x 64 = 2^20 cells) keep
-    # the exact-f32-priority pair sort.
+    # trick). The priority key is a single packed integer sorted
+    # payload-free; what identifies the candidate in the low bits
+    # depends on the cell-space size:
+    #   * cell id fits with >= 15 spare random bits (the default
+    #     2048 x 32 = 16-bit cell space): embed the cell id — no
+    #     decode step at all (``sortfill_packed_cell``).
+    #   * larger cell spaces (16K x 64 = 2^20 cells): embed the
+    #     candidate **list index** (<= 10 bits for Wc <= 1024), which
+    #     leaves >= 30 - idx_bits >= 20 random bits, and decode
+    #     index -> cell with a fused compare-select-reduce
+    #     (``sortfill_packed_idx``). This replaced the f32+s32 pair
+    #     sort, which was 21% of the whole 16K step (measured 1.9x).
+    # Either way valid keys never tie exactly (distinct ids/indices),
+    # and random-bit collisions (falling back to order-by-low-bits
+    # among the collided pair) are a <= 0.1%-of-selected event — the
+    # grown set stays a uniform random sample to that tolerance.
     existing = (syn_l[:, :, None] == cand_cell).any(axis=1)      # (L, Wc)
     valid = cand_valid & ~existing
     n_cells = cfg.column_dim * D
     cell_bits = max(1, (n_cells - 1).bit_length())
     free = ~live_l
+    rnd = jax.random.bits(key, (L, Wc), jnp.uint32)
     if 31 - cell_bits >= 15:
-        rnd = jax.random.bits(key, (L, Wc), jnp.uint32)
         pkey = (
             ((rnd >> jnp.uint32(cell_bits + 1)) << jnp.uint32(cell_bits))
             | cand_cell.astype(jnp.uint32)
         )
         pkey = jnp.where(valid, pkey, jnp.uint32(0xFFFFFFFF))
         gathered, wrote_l, n_chosen = _select_and_fill(
-            pkey, n_grow, cand_cell, free, samp, "sortfill_packed",
-            cell_bits=cell_bits,
+            pkey, n_grow, cand_cell, free, samp, "sortfill_packed_cell",
+            idx_bits=cell_bits,
         )
     else:
-        pri = jax.random.uniform(key, (L, Wc), jnp.float32)
-        pri = jnp.where(valid, pri, jnp.inf)
+        idx_bits = max(1, (Wc - 1).bit_length())
+        pkey = (
+            ((rnd >> jnp.uint32(idx_bits + 2)) << jnp.uint32(idx_bits))
+            | jnp.arange(Wc, dtype=jnp.uint32)
+        ).astype(jnp.int32)
+        pkey = jnp.where(valid, pkey, jnp.int32(0x7FFFFFFF))
         gathered, wrote_l, n_chosen = _select_and_fill(
-            pri, n_grow, cand_cell, free, samp, "sortfill"
+            pkey, n_grow, cand_cell, free, samp, "sortfill_packed_idx",
+            idx_bits=idx_bits,
         )
     new_syn_l = jnp.where(wrote_l, gathered, syn_l)
 
@@ -562,12 +601,16 @@ def tm_step(
     return_debug: bool = False,
     epsilon: float | None = None,
     detailed_metrics: bool = True,
+    col_active: jnp.ndarray | None = None,
 ):
     """One TM timestep for a single stream.
 
     `active_cols` is the SP's exactly-A top-k column index list (any
     order; sorted internally so downstream compaction is by ascending
-    id). `learning`, `compute_winner`, `return_debug` are jit-static,
+    id). `col_active` optionally passes the matching (C,) bool mask
+    when the caller already has one (the SP's `active_mask`) — the
+    (C, A) compare-any rebuild is ~1.7 ms/step at the 16K geometry.
+    `learning`, `compute_winner`, `return_debug` are jit-static,
     mirroring the `learning` / `return_winner_cell` flags of
     `networks.py:91`. `epsilon` overrides `cfg.epsilon` for this call
     (the reference exposes it per `process` call, `networks.py:91`);
@@ -589,7 +632,8 @@ def tm_step(
         jnp.swapaxes(jnp.take(prev_prediction, active_cols, axis=-1),
                      -1, -2), D
     )                                                          # (A, D)
-    col_active = column_mask_from_cols(active_cols, C)         # (C,)
+    if col_active is None:
+        col_active = column_mask_from_cols(active_cols, C)     # (C,)
 
     if learning or compute_winner:
         with jax.named_scope("tm_winner"):

@@ -291,14 +291,59 @@ def test_select_and_fill_methods_agree():
                     )
 
 
-def test_select_and_fill_packed():
-    """The packed-key path (cell id in the low key bits, random bits
-    above) selects exactly the cells of the n smallest keys into the
-    first free slots, matching the f32-priority sortfill run on the
-    key order."""
+def test_select_and_fill_packed_idx():
+    """The packed-index path (candidate list index in the low key bits,
+    random bits above, sentinel 0x7FFFFFFF) selects exactly the cells
+    of the n smallest keys into the first free slots, matching the
+    f32-priority sortfill run on the key order."""
     from bithtm_tpu.models.temporal_memory import _select_and_fill
 
     rng = np.random.RandomState(7)
+    for trial in range(6):
+        L = int(rng.randint(1, 12))
+        Wc = int(rng.choice([4, 16, 130]))
+        K = int(rng.randint(3, 20))
+        samp = int(rng.randint(1, 34))
+        idx_bits = max(1, (Wc - 1).bit_length())
+        # distinct indices by construction; random bits in
+        # [idx_bits, 29]; ~30% invalid (sentinel)
+        hi = rng.randint(0, 1 << (30 - idx_bits), size=(L, Wc))
+        key = ((hi << idx_bits) | np.arange(Wc)).astype(np.int32)
+        key[rng.rand(L, Wc) < 0.3] = np.int32(0x7FFFFFFF)
+        cells = rng.randint(0, 1 << 20, size=Wc).astype(np.int32)
+        n_grow = rng.randint(0, min(samp, Wc) + 1, size=L).astype(np.int32)
+        free = rng.rand(L, K) < 0.5
+        gathered, wrote, n_chosen = jax.device_get(
+            _select_and_fill(
+                jnp.asarray(key), jnp.asarray(n_grow),
+                jnp.asarray(cells), jnp.asarray(free),
+                samp, "sortfill_packed_idx", idx_bits=idx_bits,
+            )
+        )
+        for l in range(L):
+            valid = key[l] != np.int32(0x7FFFFFFF)
+            n = min(int(n_grow[l]), int(valid.sum()))
+            order = np.argsort(key[l], kind="stable")
+            chosen = cells[key[l][order[:n]] & ((1 << idx_bits) - 1)]
+            assert int(n_chosen[l]) == n
+            got = np.sort(gathered[l][wrote[l]])
+            if n <= int(free[l].sum()):
+                np.testing.assert_array_equal(got, np.sort(chosen))
+            else:
+                from collections import Counter
+
+                assert not Counter(got.tolist()) - Counter(
+                    chosen.tolist()
+                )
+
+
+def test_select_and_fill_packed_cell():
+    """The packed-cell path (cell id in the low key bits, random bits
+    above, sentinel 0xFFFFFFFF) selects exactly the cells of the n
+    smallest keys into the first free slots."""
+    from bithtm_tpu.models.temporal_memory import _select_and_fill
+
+    rng = np.random.RandomState(17)
     cell_bits = 16
     for trial in range(6):
         L = int(rng.randint(1, 12))
@@ -306,7 +351,7 @@ def test_select_and_fill_packed():
         K = int(rng.randint(3, 20))
         samp = int(rng.randint(1, 34))
         # distinct cells (the real candidate list is distinct by
-        # construction), random high bits, ~30% invalid
+        # construction), random high bits (bit 31 clear), ~30% invalid
         cells = rng.choice(1 << cell_bits, size=Wc, replace=False)
         hi = rng.randint(0, 1 << (31 - cell_bits), size=(L, Wc))
         key = ((hi << cell_bits) | cells[None, :]).astype(np.uint32)
@@ -317,7 +362,7 @@ def test_select_and_fill_packed():
             _select_and_fill(
                 jnp.asarray(key), jnp.asarray(n_grow),
                 jnp.asarray(cells.astype(np.int32)), jnp.asarray(free),
-                samp, "sortfill_packed", cell_bits=cell_bits,
+                samp, "sortfill_packed_cell", idx_bits=cell_bits,
             )
         )
         for l in range(L):
