@@ -60,6 +60,7 @@ from ..ops.active_set import (
     prediction_words,
     rank_ascending,
     seg_counts_packed,
+    seg_counts_packed_rows,
     synapse_activation_conn,
     table_update,
     take_percell,
@@ -123,11 +124,11 @@ def _winner_selection(cfg: TMConfig, state: TMState, key: jax.Array,
     # the previous step's forward pass, so these equal the values that
     # step computed — `utils.checks` audits exactly this invariant).
     # Re-deriving from the (A, G, K) row gather beats carrying (C, G)
-    # arrays whose minor axis tile-pads 16-32x.
-    act_rows_tbl = (
-        state.synapse_act[active_cols].reshape(A, G, K) != 0
-    )                                                         # (A, G, K)
-    pot_rows = act_rows_tbl.sum(-1, dtype=jnp.int32)          # (A, G)
+    # arrays whose minor axis tile-pads 16-32x; the packed-count decode
+    # is one bf16 reduce (shared with `_learn` by jit CSE).
+    pot_rows, _ = seg_counts_packed_rows(
+        state.synapse_act[active_cols].reshape(A, G, K), K
+    )                                                         # (A, G)
     match_rows = pot_rows >= cfg.segment_matching_threshold
     segcell_rows = state.seg_cell[active_cols]                # (A, G)
 
@@ -395,7 +396,32 @@ def _grow(cfg: TMConfig, key, syn_rows, perm_rows, learn_rows,
     # and random-bit collisions (falling back to order-by-low-bits
     # among the collided pair) are a <= 0.1%-of-selected event — the
     # grown set stays a uniform random sample to that tolerance.
-    existing = (syn_l[:, :, None] == cand_cell).any(axis=1)      # (L, Wc)
+    # The existing-target test only needs the ACTIVE live synapses:
+    # candidates are previous winner cells, winners are a subset of
+    # active cells, and act_prev was computed by the forward pass AFTER
+    # the previous step's growth — so every live synapse targeting a
+    # candidate has its act_prev bit set. A row only grows when
+    # potential < samp, i.e. it has fewer than samp active-live slots,
+    # so compacting those targets to the first `samp` positions is
+    # lossless exactly where the mask matters (rows at or past samp
+    # have n_grow == 0 and select nothing). Halves the (L, K, Wc)
+    # compare when samp < K (the shipped configs: 32 < 48/64).
+    if samp < K:
+        act_valid = act_l & live_l
+        r_act = jnp.where(act_valid, rank_ascending(act_valid), -1)
+        sel_act = (
+            r_act[:, :, None] == jnp.arange(samp, dtype=jnp.int32)
+        )                                                        # (L, K, samp)
+        syn_cmp = jnp.sum(
+            sel_act * syn_l[:, :, None], axis=1, dtype=jnp.int32
+        )                                                        # (L, samp)
+        syn_cmp = jnp.where(
+            jnp.arange(samp, dtype=jnp.int32) < row_potential[:, None],
+            syn_cmp, -1,
+        )
+    else:
+        syn_cmp = syn_l
+    existing = (syn_cmp[:, :, None] == cand_cell).any(axis=1)    # (L, Wc)
     valid = cand_valid & ~existing
     n_cells = cfg.column_dim * D
     cell_bits = max(1, (n_cells - 1).bit_length())
@@ -488,16 +514,16 @@ def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
     stale = perm_rows < 0.0
     syn_rows = jnp.where(stale, -1, syn_rows)
     perm_rows = jnp.where(stale, -1.0, perm_rows)
-    act_prev_rows = act_prev[active_cols].reshape(-1, G, K) != 0
+    act_prev_raw = act_prev[active_cols].reshape(-1, G, K)      # packed
+    act_prev_rows = act_prev_raw != 0
     # matching / active flags re-derived at the rows from the cached
-    # activity + unmutated permanences (bit-equal to what the previous
-    # step's forward pass computed; jit CSE shares the row gathers with
-    # `_winner_selection`)
-    pot_rows = act_prev_rows.sum(-1, dtype=jnp.int32)           # (A, G)
+    # packed activity (bit-equal to what the previous step's forward
+    # pass computed: the conn bit IS that pass's perm >= threshold,
+    # and active-column rows are untouched by the kernel's punishment,
+    # which lives in non-active columns; jit CSE shares the row gathers
+    # and the count decode with `_winner_selection`)
+    pot_rows, conn_rows = seg_counts_packed_rows(act_prev_raw, K)
     match_rows = pot_rows >= cfg.segment_matching_threshold
-    conn_rows = (
-        act_prev_rows & (perm_rows >= cfg.permanence_threshold)
-    ).sum(-1, dtype=jnp.int32)
     active_seg_rows = match_rows & (
         conn_rows >= cfg.segment_activation_threshold
     )

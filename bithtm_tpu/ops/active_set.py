@@ -469,6 +469,22 @@ def seg_counts_packed(packed: jnp.ndarray, num_segments: int,
     return potential.astype(out_dtype), connected.astype(out_dtype)
 
 
+def seg_counts_packed_rows(act_rows: jnp.ndarray,
+                           synapses: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., K) packed activity rows -> (potential, connected) int32
+    counts, the gathered-row sibling of `seg_counts_packed`: same exact
+    decode, but via a plain f32-accumulated sum over the slot axis (the
+    active-column rows are far too small for the MXU dot to pay). ONE
+    bf16-operand reduce replaces the two pred-tensor reduce+converts it
+    supersedes, and the connected count comes off the packed conn bit
+    the forward kernel already computed — no permanence re-compare."""
+    scale = act_scale(synapses)
+    r = jnp.sum(act_rows.astype(jnp.float32), axis=-1)
+    connected = jnp.floor(r * (1.0 / scale))
+    potential = r - scale * connected
+    return potential.astype(jnp.int32), connected.astype(jnp.int32)
+
+
 def compact_first_k(valid: jnp.ndarray, values: jnp.ndarray,
                     k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """First k `values[valid]` in index order, one-hot matched (no sort,
