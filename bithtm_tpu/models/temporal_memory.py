@@ -264,8 +264,35 @@ def _select_and_fill(pri, n_grow, cand_cell, free, samp, method,
             sent = jnp.int32(0x7FFFFFFF)
         n_valid = (pri != sent).sum(axis=-1, dtype=jnp.int32)
         n_chosen = jnp.minimum(n_grow, n_valid)                  # (L,)
-        sorted_key = jax.lax.sort(pri, dimension=-1, is_stable=False)
         kk = min(samp, Wc)                                       # n_grow <= samp
+        # Only the kk smallest keys are consumed, so wide candidate
+        # lists use an exact split selection instead of one full-width
+        # sort: sort 192-wide blocks, keep each block's kk smallest,
+        # sort the n*kk survivors (any global top-kk key is within the
+        # top kk of its block). Measured on v5e at (64, 656, 768) s32:
+        # full sort 5.95 ms, split 4x192 + 128-merge 1.9 ms. The block
+        # width is empirical — the TPU sort emitter is violently width-
+        # sensitive (384-wide and 96-wide blocks are 25-75x SLOWER than
+        # 192 at this shape) — and the split only dispatches where
+        # measured safe: wide lists, small kk, merge width <= 256.
+        _SPLIT_W = 192
+        n_blk = -(-Wc // _SPLIT_W)
+        if Wc >= 2 * _SPLIT_W and kk <= _SPLIT_W // 2 \
+                and n_blk * kk <= 256:
+            pad = n_blk * _SPLIT_W - Wc
+            keys = pri if pad == 0 else jnp.concatenate(
+                [pri, jnp.full((L, pad), sent, pri.dtype)], axis=-1
+            )
+            blocks = jax.lax.sort(
+                keys.reshape(L, n_blk, _SPLIT_W),
+                dimension=-1, is_stable=False,
+            )
+            survivors = blocks[:, :, :kk].reshape(L, n_blk * kk)
+            sorted_key = jax.lax.sort(
+                survivors, dimension=-1, is_stable=False
+            )
+        else:
+            sorted_key = jax.lax.sort(pri, dimension=-1, is_stable=False)
         low = pri.dtype.type((1 << idx_bits) - 1)
         if method == "sortfill_packed_cell":
             chosen_cell = (sorted_key[:, :kk] & low).astype(jnp.int32)

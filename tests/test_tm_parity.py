@@ -299,9 +299,11 @@ def test_select_and_fill_packed_idx():
     from bithtm_tpu.models.temporal_memory import _select_and_fill
 
     rng = np.random.RandomState(7)
-    for trial in range(6):
+    for trial in range(8):
         L = int(rng.randint(1, 12))
-        Wc = int(rng.choice([4, 16, 130]))
+        # 384/700 trigger the split selection (192-wide blocks, with
+        # and without sentinel padding); the rest the full sort
+        Wc = int(rng.choice([4, 16, 130, 384, 700]))
         K = int(rng.randint(3, 20))
         samp = int(rng.randint(1, 34))
         idx_bits = max(1, (Wc - 1).bit_length())
@@ -345,9 +347,9 @@ def test_select_and_fill_packed_cell():
 
     rng = np.random.RandomState(17)
     cell_bits = 16
-    for trial in range(6):
+    for trial in range(8):
         L = int(rng.randint(1, 12))
-        Wc = int(rng.choice([4, 16, 130]))
+        Wc = int(rng.choice([4, 16, 130, 384, 700]))
         K = int(rng.randint(3, 20))
         samp = int(rng.randint(1, 34))
         # distinct cells (the real candidate list is distinct by
