@@ -62,6 +62,7 @@ from ..ops.active_set import (
     seg_counts_packed,
     seg_counts_packed_rows,
     synapse_activation_conn,
+    take_small_table,
     table_update,
     take_percell,
     unpack_bits,
@@ -298,16 +299,13 @@ def _select_and_fill(pri, n_grow, cand_cell, free, samp, method,
             chosen_cell = (sorted_key[:, :kk] & low).astype(jnp.int32)
         else:
             chosen_idx = (sorted_key[:, :kk] & low).astype(jnp.int32)
-            # index -> cell against the shared candidate list, fused
-            # compare-select-reduce (never materialized at (L, kk, Wc));
-            # sentinel rows decode to an out-of-range or arbitrary
-            # index, but land only in slots with free_rank >= n_chosen,
-            # which wrote_l never writes.
-            chosen_cell = jnp.sum(
-                (chosen_idx[:, :, None]
-                 == jnp.arange(Wc, dtype=jnp.int32)) * cand_cell,
-                axis=-1, dtype=jnp.int32,
-            )                                                    # (L, kk)
+            # index -> cell against the shared candidate list
+            # (`take_small_table`: chunked-dynamic-gather kernel on
+            # TPU, fused compare-select-reduce elsewhere); sentinel
+            # rows decode to an out-of-range or arbitrary index, but
+            # land only in slots with free_rank >= n_chosen, which
+            # wrote_l never writes.
+            chosen_cell = take_small_table(cand_cell, chosen_idx)
         r = jnp.arange(kk, dtype=jnp.int32)
         sel = free_rank[:, None, :] == r[:, None]                # (L, kk, K)
         gathered = jnp.sum(

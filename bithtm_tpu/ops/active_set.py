@@ -485,6 +485,37 @@ def seg_counts_packed_rows(act_rows: jnp.ndarray,
     return potential.astype(jnp.int32), connected.astype(jnp.int32)
 
 
+def take_small_table(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """out[l, k] = table[idx[l, k]] for a small shared lookup table
+    (table (Wc,) int32, idx (L, kk) int32); out-of-range indices give
+    an arbitrary table/zero value — callers must mask them. This is the
+    packed-index growth-key decode (index -> candidate cell).
+
+    TPU takes a chunked-dynamic-gather Pallas kernel
+    (`small_table_take_tpu`; an XLA `take_along_axis` at this shape
+    runs on the scalar core, measured 8x slower than even the
+    fallback); elsewhere (and for lane-unfriendly shapes) the fused
+    compare-select-reduce fallback (measured 1.85 ms vs the kernel's
+    ~0.1 at (64, 656x32, 768) on v5e)."""
+    L, kk = idx.shape
+    (Wc,) = table.shape
+    n = L * kk
+    if jax.default_backend() == "tpu" and Wc <= 16 * 128:
+        from .pallas_kernels import small_table_take_tpu
+
+        pad = -n % 1024
+        flat = idx.reshape(n)
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad,), jnp.int32)])
+        out = small_table_take_tpu(table, flat.reshape(-1, 128))
+        return out.reshape(-1)[:n].reshape(L, kk)
+    return jnp.sum(
+        (idx[:, :, None] == jnp.arange(Wc, dtype=jnp.int32)) * table,
+        axis=-1, dtype=jnp.int32,
+    )
+
+
 def compact_first_k(valid: jnp.ndarray, values: jnp.ndarray,
                     k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """First k `values[valid]` in index order, one-hot matched (no sort,

@@ -525,3 +525,53 @@ def synapse_activation_conn_tpu(
         out_specs=big(),
         interpret=interpret,
     )(*match_ops, syn_cell, syn_perm)
+
+
+def _small_take_kernel(tab_ref, idx_ref, out_ref, *, chunks: int):
+    tab = tab_ref[:]                               # (R8, 128)
+    idx = idx_ref[:]                               # (S, 128) int32
+    lo = jnp.bitwise_and(idx, 127)
+    hi = idx >> 7
+    out = jnp.zeros(idx.shape, jnp.int32)
+    for c in range(chunks):
+        src = jnp.broadcast_to(tab[c:c + 1, :], idx.shape)
+        g = jnp.take_along_axis(src, lo, axis=1)
+        out = jnp.where(hi == c, g, out)
+    out_ref[:] = out
+
+
+def small_table_take_tpu(
+    table: jnp.ndarray,   # (Wc,) int32 — the per-stream lookup table
+    idx: jnp.ndarray,     # (S, 128) int32 — indices into the table
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[s, l] = table[idx[s, l]], 0 where idx >= ceil(Wc/128)*128.
+
+    The small-table gather XLA cannot do: `take_along_axis` at this
+    shape lowers to a scalar-core gather (measured 8x slower than even
+    the fused compare-select-reduce it replaces). Here the table rides
+    as ceil(Wc/128) sublane rows of a VMEM-resident (R, 128) block and
+    each 128-lane index tile does `chunks` tpu.dynamic_gather lane
+    lookups + selects — the `_match_bits_bisect` idiom. Used by
+    `active_set.take_small_table` for the packed-index growth-key
+    decode (idx -> candidate cell) at large-cell-space configs."""
+    (Wc,) = table.shape
+    S = idx.shape[0]
+    assert idx.shape[1] == 128 and S % 8 == 0, idx.shape
+    chunks = -(-Wc // 128)
+    rpad = -chunks % 8
+    tab = jnp.zeros((chunks + rpad, 128), jnp.int32)
+    tab = jax.lax.dynamic_update_slice(
+        tab.reshape(-1), table.astype(jnp.int32), (0,)
+    ).reshape(chunks + rpad, 128)
+    kernel = functools.partial(_small_take_kernel, chunks=chunks)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((S, 128), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tab, idx)

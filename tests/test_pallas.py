@@ -245,3 +245,29 @@ def test_bisect_table_update_matches_xla():
     )
     for r, g in zip(ref[:2], got):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_small_table_take_kernel_parity():
+    """Chunked-dynamic-gather small-table lookup == plain indexing, for
+    in-range indices; out-of-range indices land on the zero padding or
+    match no chunk (the caller masks them)."""
+    from bithtm_tpu.ops.pallas_kernels import small_table_take_tpu
+
+    rng = np.random.RandomState(3)
+    for Wc, S in ((768, 16), (128, 8), (700, 24)):
+        table = rng.randint(0, 1 << 20, size=Wc).astype(np.int32)
+        idx = rng.randint(0, Wc, size=(S, 128)).astype(np.int32)
+        got = np.asarray(
+            small_table_take_tpu(jnp.asarray(table), jnp.asarray(idx),
+                                 interpret=True)
+        )
+        np.testing.assert_array_equal(got, table[idx])
+        # out-of-range: sentinel-decoded indices must not crash and
+        # must return a deterministic 0 past the padded table end
+        over = np.full((8, 128), (1 << 11) - 1, np.int32)
+        got2 = np.asarray(
+            small_table_take_tpu(jnp.asarray(table), jnp.asarray(over),
+                                 interpret=True)
+        )
+        if ((1 << 11) - 1) >= ((Wc + 127) // 128) * 128:
+            np.testing.assert_array_equal(got2, 0)
