@@ -89,7 +89,13 @@ def htm_step(
                 cfg.tm, state.tm, sub, sp_out.active_columns,
                 learning, compute_winner,
                 detailed_metrics=detailed_metrics,
-                col_active=sp_out.active_mask,
+                # reuse the SP's mask only when it is the stock
+                # k_winners output (exactly consistent with the index
+                # list by construction); a custom inhibition hook's
+                # mask only ever feeds the SP duty cycle — TM state
+                # integrity must not depend on hook self-consistency
+                col_active=(sp_out.active_mask
+                            if inhibition is None else None),
             )
         else:
             tm_state, tm_out = temporal_memory(

@@ -164,20 +164,38 @@ def column_mask_from_cols(cols: jnp.ndarray, column_dim: int) -> jnp.ndarray:
 _warned_fallback_shapes: set = set()
 
 
-def _pallas_block(rows: int, row_bytes: int) -> int:
+def active_uses_bisect(cols, J: int) -> bool:
+    """Whether the Pallas matcher will take the bisection-gather form
+    for this active-set size (mirrors `pallas_kernels._matcher_inputs`;
+    static — A and J are trace-time shapes)."""
+    from .pallas_kernels import BISECT_MIN_ACTIVE
+
+    return cols.shape[-1] >= BISECT_MIN_ACTIVE and J % 128 == 0
+
+
+def _pallas_block(rows: int, row_bytes: int,
+                  bisect: bool = False) -> int:
     """Largest power-of-two row-block (<= 512, VMEM-bounded) dividing
     `rows`; 0 if none fits (-> XLA fallback, with a one-time warning:
     the fused single-HBM-pass kernel needs a power-of-two block >= 8
     dividing the column count — pick a column_dim divisible by 8 to
-    stay on the fast path)."""
+    stay on the fast path). ``bisect`` = the kernel will use the
+    bisection-gather matcher (see `active_uses_bisect`), which prefers
+    the largest block.
+    """
     # budget for ONE synapse tile: the pipeline holds ~2x(in+out) tiles
     # plus the u32 accumulator. Swept on-device (round 3, B=256): small
-    # tiles double-buffer better — J=384 runs 6% faster at block=64 than
-    # 256, J=256 2% faster at 128 than 512; a ~384KB per-tile budget
-    # lands both on their measured best (the round-2 2MB budget was
-    # swept only across 128/256/512 at J=384 with the old per-tile
-    # shapes and picked 256).
-    budget = 384 * 1024
+    # tiles double-buffer better on the COMPARE-CHAIN matcher — J=384
+    # runs 6% faster at block=64 than 256, J=256 2% faster at 128 than
+    # 512; a ~384KB per-tile budget lands both on their measured best
+    # (the round-2 2MB budget was swept only across 128/256/512 at
+    # J=384 with the old per-tile shapes and picked 256). The BISECT
+    # matcher inverts the preference — its per-tile probe-table
+    # broadcast amortizes over rows, and re-sweeping at 16K x 64 B=64
+    # after the implicit-death slimming measured block 64/128/256/512 =
+    # 1,412 / 1,484 / 1,538 / 1,547 steps/s — so bisect geometries get
+    # the budget that admits the 512-row cap.
+    budget = (1536 if bisect else 384) * 1024
     b = 512
     while b >= 8:
         if rows % b == 0 and b * row_bytes <= budget:
@@ -217,7 +235,8 @@ def synapse_activation(
     Returns a bf16 0/1 mask (the count dots' MXU operand dtype; the
     kernel emits it directly, saving a table-sized convert pass)."""
     if jax.default_backend() == "tpu":
-        block = _pallas_block(syn_cell.shape[0], 4 * syn_cell.shape[1])
+        block = _pallas_block(syn_cell.shape[0], 4 * syn_cell.shape[1],
+                              active_uses_bisect(cols, syn_cell.shape[1]))
         if block:
             from .pallas_kernels import synapse_activation_tpu
 
@@ -246,7 +265,8 @@ def synapse_activation_conn(
     (which no longer rewrites the syn table) never match. Identical
     results on both paths."""
     if jax.default_backend() == "tpu":
-        block = _pallas_block(syn_cell.shape[0], 8 * syn_cell.shape[1])
+        block = _pallas_block(syn_cell.shape[0], 8 * syn_cell.shape[1],
+                              active_uses_bisect(cols, syn_cell.shape[1]))
         if block:
             from .pallas_kernels import synapse_activation_conn_tpu
 
@@ -367,7 +387,8 @@ def table_update(syn_cell, syn_perm, act_prev, pun_word, cols, bits,
     if jax.default_backend() == "tpu":
         # 6 table-sized tiles live at once (4 in, 2 out) before
         # pipelining, so budget per-tile bytes accordingly
-        block = _pallas_block(syn_cell.shape[0], 12 * syn_cell.shape[1])
+        block = _pallas_block(syn_cell.shape[0], 12 * syn_cell.shape[1],
+                              active_uses_bisect(cols, syn_cell.shape[1]))
         if block:
             from .pallas_kernels import table_update_tpu
 

@@ -254,7 +254,7 @@ def test_small_table_take_kernel_parity():
     from bithtm_tpu.ops.pallas_kernels import small_table_take_tpu
 
     rng = np.random.RandomState(3)
-    for Wc, S in ((768, 16), (128, 8), (700, 24)):
+    for Wc, S in ((768, 16), (128, 8), (700, 24), (129, 8)):
         table = rng.randint(0, 1 << 20, size=Wc).astype(np.int32)
         idx = rng.randint(0, Wc, size=(S, 128)).astype(np.int32)
         got = np.asarray(
@@ -262,12 +262,19 @@ def test_small_table_take_kernel_parity():
                                  interpret=True)
         )
         np.testing.assert_array_equal(got, table[idx])
-        # out-of-range: sentinel-decoded indices must not crash and
-        # must return a deterministic 0 past the padded table end
-        over = np.full((8, 128), (1 << 11) - 1, np.int32)
-        got2 = np.asarray(
-            small_table_take_tpu(jnp.asarray(table), jnp.asarray(over),
-                                 interpret=True)
-        )
-        if ((1 << 11) - 1) >= ((Wc + 127) // 128) * 128:
+        chunks = (Wc + 127) // 128
+        # sentinel-decoded indices must return a deterministic 0 both
+        # INSIDE the zero-padded table tail [Wc, chunks*128) — the
+        # range sortfill_packed_idx's sentinel actually hits when Wc
+        # is not a multiple of 128 (e.g. Wc=129 -> idx 255) — and
+        # past the padded end (no chunk matches)
+        probes = [(1 << 11) - 1]
+        if chunks * 128 > Wc:
+            probes.append(chunks * 128 - 1)
+        for p_idx in probes:
+            over = np.full((8, 128), p_idx, np.int32)
+            got2 = np.asarray(
+                small_table_take_tpu(jnp.asarray(table),
+                                     jnp.asarray(over), interpret=True)
+            )
             np.testing.assert_array_equal(got2, 0)
