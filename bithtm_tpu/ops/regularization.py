@@ -42,9 +42,11 @@ def k_winners(boosted: jnp.ndarray, k: int):
     lowest index) is behaviour-compatible. Returns (indices, mask).
     """
     _, idx = jax.lax.top_k(boosted, k)
-    # mask via compare, not scatter: a k-index scatter into (C,) writes
-    # scattered single lanes; the (C, k) compare-any is pure VPU work
-    # and fuses into the duty-cycle consumer.
-    c = jnp.arange(boosted.shape[-1], dtype=idx.dtype)
-    mask = (c[:, None] == idx[None, :]).any(axis=-1)
+    # mask build dispatches on shape (see `column_mask_from_cols`):
+    # compare-any fuses into the duty-cycle consumer at small C x k,
+    # the index scatter wins ~6x at the 16K x A=328 geometry.
+    from .active_set import column_mask_from_cols
+
+    mask = column_mask_from_cols(idx.astype(jnp.int32),
+                                 boosted.shape[-1])
     return idx, mask
