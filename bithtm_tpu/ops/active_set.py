@@ -175,23 +175,27 @@ def column_mask_from_cols(cols: jnp.ndarray, column_dim: int) -> jnp.ndarray:
 _warned_fallback_shapes: set = set()
 
 
-def active_uses_bisect(cols, J: int) -> bool:
-    """Whether the Pallas matcher will take the bisection-gather form
+def active_uses_gather(cols, J: int) -> bool:
+    """Whether the Pallas matcher will take a gather-table form — the
+    salted hash at small A or the bisection past the A~64 crossover —
     for this active-set size (mirrors `pallas_kernels._matcher_inputs`;
-    static — A and J are trace-time shapes)."""
-    from .pallas_kernels import BISECT_MIN_ACTIVE
+    static — A and J are trace-time shapes). Both forms broadcast a
+    VMEM probe table whose cost amortizes over rows, so they share the
+    large-block tile budget in `_pallas_block`."""
+    from .pallas_kernels import BISECT_MIN_ACTIVE, HASH_MAX_ACTIVE
 
-    return cols.shape[-1] >= BISECT_MIN_ACTIVE and J % 128 == 0
+    A = cols.shape[-1]
+    return (A < HASH_MAX_ACTIVE or A >= BISECT_MIN_ACTIVE) and J % 128 == 0
 
 
 def _pallas_block(rows: int, row_bytes: int,
-                  bisect: bool = False) -> int:
+                  gather: bool = False) -> int:
     """Largest power-of-two row-block (<= 512, VMEM-bounded) dividing
     `rows`; 0 if none fits (-> XLA fallback, with a one-time warning:
     the fused single-HBM-pass kernel needs a power-of-two block >= 8
     dividing the column count — pick a column_dim divisible by 8 to
-    stay on the fast path). ``bisect`` = the kernel will use the
-    bisection-gather matcher (see `active_uses_bisect`), which prefers
+    stay on the fast path). ``gather`` = the kernel will use a
+    gather-table matcher (see `active_uses_gather`), which prefers
     the largest block.
     """
     # budget for ONE synapse tile: the pipeline holds ~2x(in+out) tiles
@@ -206,7 +210,7 @@ def _pallas_block(rows: int, row_bytes: int,
     # after the implicit-death slimming measured block 64/128/256/512 =
     # 1,412 / 1,484 / 1,538 / 1,547 steps/s — so bisect geometries get
     # the budget that admits the 512-row cap.
-    budget = (1536 if bisect else 384) * 1024
+    budget = (1536 if gather else 384) * 1024
     b = 512
     while b >= 8:
         if rows % b == 0 and b * row_bytes <= budget:
@@ -247,7 +251,7 @@ def synapse_activation(
     kernel emits it directly, saving a table-sized convert pass)."""
     if jax.default_backend() == "tpu":
         block = _pallas_block(syn_cell.shape[0], 4 * syn_cell.shape[1],
-                              active_uses_bisect(cols, syn_cell.shape[1]))
+                              active_uses_gather(cols, syn_cell.shape[1]))
         if block:
             from .pallas_kernels import synapse_activation_tpu
 
@@ -277,7 +281,7 @@ def synapse_activation_conn(
     results on both paths."""
     if jax.default_backend() == "tpu":
         block = _pallas_block(syn_cell.shape[0], 8 * syn_cell.shape[1],
-                              active_uses_bisect(cols, syn_cell.shape[1]))
+                              active_uses_gather(cols, syn_cell.shape[1]))
         if block:
             from .pallas_kernels import synapse_activation_conn_tpu
 
@@ -399,7 +403,7 @@ def table_update(syn_cell, syn_perm, act_prev, pun_word, cols, bits,
         # 6 table-sized tiles live at once (4 in, 2 out) before
         # pipelining, so budget per-tile bytes accordingly
         block = _pallas_block(syn_cell.shape[0], 12 * syn_cell.shape[1],
-                              active_uses_bisect(cols, syn_cell.shape[1]))
+                              active_uses_gather(cols, syn_cell.shape[1]))
         if block:
             from .pallas_kernels import table_update_tpu
 

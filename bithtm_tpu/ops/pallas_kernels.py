@@ -29,6 +29,17 @@ BISECT_MIN_ACTIVE = 64  # measured crossover: the 7-gather bisection
 # better. See docs/PERFORMANCE.md "Sub-O(A) membership".
 _BISECT_SENTINEL = 2**30
 
+HASH_MAX_ACTIVE = 48  # below this, the salted-hash matcher (ONE
+# multiplicative hash + 2 bucket probes + a 4-wide overflow chain)
+# replaces the A-compare chain: ~2*(1+W) lane-gathers per element
+# instead of A compare/selects. The salt search keeps expected bucket
+# load tiny for A well under 128; past ~48 the overflow condition
+# starts costing retries, and by A=64 bisection wins anyway.
+_HASH_CAP = 2      # table slots per bucket
+_HASH_OVF = 4      # overflow-chain length (entries beyond CAP anywhere)
+_HASH_SALT0 = 0x9E3779B9 - 2**32  # golden-ratio seed (as i32);
+_HASH_STEP = 0x61C88647           # stepped by an odd constant
+
 
 def bisect_tables(cols, bits):
     """Lay the active set out for the in-kernel bisection matcher.
@@ -68,6 +79,145 @@ def bisect_tables(cols, bits):
         tab = jnp.concatenate(
             [tab, jnp.zeros((rpad, 128), jnp.int32)], axis=0)
     return tab, L
+
+
+def _hash7(x, salt):
+    """The in-kernel bucket hash: top 7 bits of the wrapping i32
+    multiplicative hash. Arithmetic shift + mask extracts bits 25-31
+    regardless of sign; i32 wraparound multiply has the same low-word
+    bits as the u32 multiply, so build side and kernel side agree."""
+    return (x * salt >> 25) & 127
+
+
+def hash_salt(cols):
+    """Find a salt under which the A active columns hash into 128
+    buckets with at most `_HASH_CAP` entries per bucket spilling no more
+    than `_HASH_OVF` entries total. Expected ~1.1 tries at A=41 (and
+    the whole search is A x 128 compares per try — noise); returns the
+    i32 salt."""
+    cols = cols.astype(jnp.int32)
+    b = jnp.arange(128, dtype=jnp.int32)
+
+    def overflow(salt):
+        h = _hash7(cols, salt)
+        occ = jnp.sum(h[None, :] == b[:, None], axis=-1,
+                      dtype=jnp.int32)                       # (128,)
+        return jnp.maximum(occ - _HASH_CAP, 0).sum(dtype=jnp.int32)
+
+    def cond(salt):
+        return overflow(salt) > _HASH_OVF
+
+    def body(salt):
+        return (salt + jnp.int32(_HASH_STEP)) | jnp.int32(1)
+
+    return jax.lax.while_loop(cond, body, jnp.int32(_HASH_SALT0) | 1)
+
+
+def hash_tables(cols, bits):
+    """Lay the active set out for the in-kernel salted-hash matcher.
+
+    Returns (tab (R8, 128) i32, ovf_cols (1, OVF) i32,
+    ovf_bits (OVF, W) u32, salt (1, 1) i32):
+
+      tab row s*(1+W)     lane b = column id of slot s of bucket b
+      tab row s*(1+W)+1+w lane b = bitmask word w of that entry
+
+    for s in [0, CAP). Entries are assigned to slots in ascending
+    active-list order; entries past CAP in their bucket go to the
+    overflow chain (the salt search guarantees they fit). Empty lanes
+    hold a sentinel no real column reaches."""
+    A, W = bits.shape
+    cols = cols.astype(jnp.int32)
+    salt = hash_salt(cols)
+    h = _hash7(cols, salt)                                   # (A,)
+    a = jnp.arange(A, dtype=jnp.int32)
+    rank = jnp.sum(
+        (h[None, :] == h[:, None]) & (a[None, :] < a[:, None]),
+        axis=-1, dtype=jnp.int32,
+    )                                                        # (A,)
+    lane = jnp.arange(128, dtype=jnp.int32)
+    rows = []
+    for s in range(_HASH_CAP):
+        sel = (h[:, None] == lane) & (rank[:, None] == s)    # (A, 128)
+        ent = jnp.sum(sel * cols[:, None], axis=0, dtype=jnp.int32)
+        ent = jnp.where(sel.any(axis=0), ent, _BISECT_SENTINEL)
+        rows.append(ent)
+        for w in range(W):
+            rows.append(jnp.sum(
+                sel * bits[:, w, None].astype(jnp.int32),
+                axis=0, dtype=jnp.int32,
+            ))
+    tab = jnp.stack(rows, axis=0)
+    R = tab.shape[0]
+    rpad = -R % 8
+    if rpad:
+        tab = jnp.concatenate(
+            [tab, jnp.zeros((rpad, 128), jnp.int32)], axis=0)
+    ovf = rank >= _HASH_CAP
+    ovf_cols, ovf_valid = _compact_first(ovf, cols, _HASH_OVF)
+    ovf_cols = jnp.where(ovf_valid, ovf_cols, _BISECT_SENTINEL)
+    ovf_bits = jnp.stack([
+        _compact_first(ovf, bits[:, w].astype(jnp.uint32), _HASH_OVF)[0]
+        for w in range(W)
+    ], axis=-1)                                              # (OVF, W)
+    return (tab, ovf_cols.reshape(1, _HASH_OVF), ovf_bits,
+            salt.reshape(1, 1))
+
+
+def _compact_first(valid, values, k):
+    """First-k compaction (ascending index), sentinel-free core of
+    `active_set.compact_first_k` (duplicated to avoid a circular
+    import of a 6-line helper)."""
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    rank = jnp.where(valid, rank, -1)
+    sel = rank[None, :] == jnp.arange(k, dtype=jnp.int32)[:, None]
+    out = jnp.sum(sel * values[None, :], axis=1, dtype=values.dtype)
+    return out, jnp.arange(k, dtype=jnp.int32) < valid.sum(dtype=jnp.int32)
+
+
+def _match_bits_hash(tab_ref, ocols_ref, obits_ref, salt_ref, col, lo,
+                     *, words: int, block: int):
+    """Salted-hash form of `_match_bits`: one multiplicative hash picks
+    the element's bucket, `_HASH_CAP` probes compare the bucket's
+    entries (tpu.dynamic_gather lane lookups, the `_match_bits_bisect`
+    idiom), and the few bucket-overflow entries ride a `_HASH_OVF`-wide
+    compare chain. Per element: CAP*(1+W) gathers + ~15 ops,
+    independent of A — vs A compare/selects for the chain."""
+    rows = tab_ref[:]
+    salt = salt_ref[0, 0]
+    J = col.shape[1]
+    if words > 1:
+        w_idx = lo // 32
+    chunks = []
+    for c0 in range(0, J, 128):
+        colc = col[:, c0:c0 + 128]
+        b = _hash7(colc, salt)
+        matched = jnp.zeros((block, 128), jnp.int32)
+        for s in range(_HASH_CAP):
+            base = s * (1 + words)
+            ent = jnp.take_along_axis(
+                jnp.broadcast_to(rows[base:base + 1, :], (block, 128)),
+                b, axis=1)
+            m = ent == colc
+            word = jnp.take_along_axis(
+                jnp.broadcast_to(rows[base + 1:base + 2, :],
+                                 (block, 128)),
+                b, axis=1)
+            for w in range(1, words):
+                word2 = jnp.take_along_axis(
+                    jnp.broadcast_to(rows[base + 1 + w:base + 2 + w, :],
+                                     (block, 128)),
+                    b, axis=1)
+                word = jnp.where(w_idx[:, c0:c0 + 128] == w, word2, word)
+            matched = matched | jnp.where(m, word, 0)
+        chunks.append(matched)
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks,
+                                                             axis=1)
+    out = out.astype(jnp.uint32)
+    # overflow entries: the plain compare chain over the OVF SMEM slots
+    out = out | _match_bits(ocols_ref, obits_ref, col, lo, _HASH_OVF,
+                            words)
+    return out
 
 
 def _match_bits_bisect(tab_ref, col, lo, *, L: int, words: int,
@@ -144,10 +294,15 @@ def _match_bits(cols_ref, bits_ref, col, lo, num_active: int, words: int):
 
 
 def _matched_any(match_refs, col, lo, *, num_active: int, words: int,
-                 bisect_L: int, block: int):
-    """Dispatch to the A-compare chain (match_refs = (cols, bits), the
-    small-A winner) or the bisection gather (match_refs = (tab,), wins
-    past A ~ 64)."""
+                 bisect_L: int, hash_match: bool, block: int):
+    """Dispatch to the salted-hash matcher (match_refs = (tab, ovf_cols,
+    ovf_bits, salt), small A), the bisection gather (match_refs =
+    (tab,), wins past A ~ 64), or the A-compare chain (match_refs =
+    (cols, bits), the lane-unfriendly fallback)."""
+    if hash_match:
+        tab_ref, ocols_ref, obits_ref, salt_ref = match_refs
+        return _match_bits_hash(tab_ref, ocols_ref, obits_ref, salt_ref,
+                                col, lo, words=words, block=block)
     if bisect_L:
         (tab_ref,) = match_refs
         return _match_bits_bisect(tab_ref, col, lo, L=bisect_L,
@@ -157,14 +312,15 @@ def _matched_any(match_refs, col, lo, *, num_active: int, words: int,
 
 
 def _act_kernel(*refs, cell_dim: int, num_active: int, words: int,
-                bisect_L: int, block: int):
+                bisect_L: int, hash_match: bool, block: int):
     *match_refs, syn_ref, act_ref = refs
     syn = syn_ref[:]                                  # (Cb, J) int32
     col = syn // cell_dim                             # -1 for free slots
     lo = syn - col * cell_dim
     bitpos = (lo % 32).astype(jnp.uint32)
     matched = _matched_any(match_refs, col, lo, num_active=num_active,
-                           words=words, bisect_L=bisect_L, block=block)
+                           words=words, bisect_L=bisect_L,
+                           hash_match=hash_match, block=block)
     act = ((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)
     act_ref[:] = act.astype(jnp.bfloat16)  # MXU operand of the count dots
 
@@ -182,7 +338,8 @@ def _pack_v(act, perm, perm_threshold: float, scale: int, dtype):
 
 def _act_conn_kernel(*refs, cell_dim: int, num_active: int,
                      words: int, perm_threshold: float, scale: int,
-                     v_dtype, bisect_L: int, block: int):
+                     v_dtype, bisect_L: int, hash_match: bool,
+                     block: int):
     """Inference-path variant: activation AND connected-activity in one
     pass over the frozen (read-only) table, emitted as ONE packed mask
     (v = act + scale*conn — the separate conn mask cost a second
@@ -196,7 +353,8 @@ def _act_conn_kernel(*refs, cell_dim: int, num_active: int,
     lo = syn - col * cell_dim
     bitpos = (lo % 32).astype(jnp.uint32)
     matched = _matched_any(match_refs, col, lo, num_active=num_active,
-                           words=words, bisect_L=bisect_L, block=block)
+                           words=words, bisect_L=bisect_L,
+                           hash_match=hash_match, block=block)
     act = (((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)) & (
         perm >= 0.0
     )
@@ -206,7 +364,7 @@ def _act_conn_kernel(*refs, cell_dim: int, num_active: int,
 def _table_kernel(*refs, cell_dim: int, num_active: int, words: int,
                   punishment: float, perm_threshold: float,
                   synapses: int, scale: int, v_dtype, bisect_L: int,
-                  block: int):
+                  hash_match: bool, block: int):
     """Fused per-tile: punishment decrement + implicit synapse death +
     active-set compare + connected-compare — one HBM read of the synapse
     tables and one write of the permanences per step instead of separate
@@ -253,7 +411,8 @@ def _table_kernel(*refs, cell_dim: int, num_active: int, words: int,
     lo = syn - col * cell_dim
     bitpos = (lo % 32).astype(jnp.uint32)
     matched = _matched_any(match_refs, col, lo, num_active=num_active,
-                           words=words, bisect_L=bisect_L, block=block)
+                           words=words, bisect_L=bisect_L,
+                           hash_match=hash_match, block=block)
     act = (((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)) & (
         perm >= 0.0
     )
@@ -262,22 +421,32 @@ def _table_kernel(*refs, cell_dim: int, num_active: int, words: int,
 
 
 def _matcher_inputs(cols, bits, J: int):
-    """(bisect_L, operand list, BlockSpec list) for the active-set
-    matcher: the bisection gather table when A is past the measured
-    crossover (and the lane axis 128-chunkable), else the SMEM
-    cols/bits pair for the unrolled chain."""
+    """(bisect_L, hash_match, operand list, BlockSpec list) for the
+    active-set matcher: the salted-hash table for small A, the
+    bisection gather table when A is past the measured crossover (both
+    need a 128-chunkable lane axis), else the SMEM cols/bits pair for
+    the unrolled chain."""
     A, W = bits.shape
+    still = lambda i: (0, 0)
+    if A < HASH_MAX_ACTIVE and J % 128 == 0:
+        tab, ovf_cols, ovf_bits, salt = hash_tables(cols, bits)
+        specs = [
+            pl.BlockSpec(tab.shape, still, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _HASH_OVF), still, memory_space=pltpu.SMEM),
+            pl.BlockSpec((_HASH_OVF, W), still, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), still, memory_space=pltpu.SMEM),
+        ]
+        return 0, True, [tab, ovf_cols, ovf_bits, salt], specs
     if A >= BISECT_MIN_ACTIVE and J % 128 == 0:
         tab, L = bisect_tables(cols, bits)
         R = tab.shape[0]
-        spec = pl.BlockSpec((R, 128), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-        return L, [tab], [spec]
+        spec = pl.BlockSpec((R, 128), still, memory_space=pltpu.VMEM)
+        return L, False, [tab], [spec]
     specs = [
-        pl.BlockSpec((1, A), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((A, W), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, A), still, memory_space=pltpu.SMEM),
+        pl.BlockSpec((A, W), still, memory_space=pltpu.SMEM),
     ]
-    return 0, [cols.reshape(1, A), bits], specs
+    return 0, False, [cols.reshape(1, A), bits], specs
 
 
 def table_update_tpu(
@@ -304,14 +473,15 @@ def table_update_tpu(
     block = min(block, C)
     assert C % block == 0, (C, block)
 
-    bisect_L, match_ops, match_specs = _matcher_inputs(cols, bits, J)
+    bisect_L, hash_match, match_ops, match_specs = _matcher_inputs(
+        cols, bits, J)
     n_match = len(match_ops)
     v_dtype = act_dtype(synapses)
     kernel = functools.partial(
         _table_kernel, cell_dim=cell_dim, num_active=A, words=W,
         punishment=punishment, perm_threshold=perm_threshold,
         synapses=synapses, scale=act_scale(synapses), v_dtype=v_dtype,
-        bisect_L=bisect_L, block=block,
+        bisect_L=bisect_L, hash_match=hash_match, block=block,
     )
     tile = lambda i: (i, 0)
     big = lambda: pl.BlockSpec((block, J), tile, memory_space=pltpu.VMEM)
@@ -467,10 +637,11 @@ def synapse_activation_tpu(
     block = min(block, C)
     assert C % block == 0, (C, block)
 
-    bisect_L, match_ops, match_specs = _matcher_inputs(cols, bits, J)
+    bisect_L, hash_match, match_ops, match_specs = _matcher_inputs(
+        cols, bits, J)
     kernel = functools.partial(
         _act_kernel, cell_dim=cell_dim, num_active=A, words=W,
-        bisect_L=bisect_L, block=block,
+        bisect_L=bisect_L, hash_match=hash_match, block=block,
     )
     return pl.pallas_call(
         kernel,
@@ -508,12 +679,13 @@ def synapse_activation_conn_tpu(
     block = min(block, C)
     assert C % block == 0, (C, block)
 
-    bisect_L, match_ops, match_specs = _matcher_inputs(cols, bits, J)
+    bisect_L, hash_match, match_ops, match_specs = _matcher_inputs(
+        cols, bits, J)
     v_dtype = act_dtype(synapses)
     kernel = functools.partial(
         _act_conn_kernel, cell_dim=cell_dim, num_active=A, words=W,
         perm_threshold=perm_threshold, scale=act_scale(synapses),
-        v_dtype=v_dtype, bisect_L=bisect_L, block=block,
+        v_dtype=v_dtype, bisect_L=bisect_L, hash_match=hash_match, block=block,
     )
     big = lambda: pl.BlockSpec((block, J), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)

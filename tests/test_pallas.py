@@ -195,8 +195,9 @@ def test_bisect_matcher_matches_xla():
         cols = rng.choice(C, A, replace=False).astype(np.int32)  # unsorted
         rows = rng.rand(A, D) < 0.5
         bits = pack_bits(jnp.asarray(rows))
-        bisect_L, _, _ = _matcher_inputs(jnp.asarray(cols), bits, J)
-        assert bisect_L == -(-A // 128), (A, bisect_L)
+        bisect_L, hash_match, _, _ = _matcher_inputs(
+            jnp.asarray(cols), bits, J)
+        assert bisect_L == -(-A // 128) and not hash_match, (A, bisect_L)
         ref = np.asarray(
             synapse_activation_xla(
                 jnp.asarray(syn), jnp.asarray(cols), bits, D
@@ -215,6 +216,115 @@ def test_bisect_table_update_matches_xla():
     """Full fused table kernel through the bisection matcher branch."""
     rng = np.random.RandomState(5)
     C, G, K, A, D = 512, 4, 32, 80, 64
+    J = G * K
+    N = C * D
+    syn = rng.randint(-1, N, size=(C, J)).astype(np.int32)
+    perm = np.where(
+        syn >= 0, rng.rand(C, J).astype(np.float32) * 0.1 - 0.02, -1.0
+    ).astype(np.float32)
+    act_prev = (rng.rand(C, J) < 0.5) & (syn >= 0)
+    pun = rng.rand(C, G) < 0.3
+    pun_word = (pun.astype(np.int32) << np.arange(G)).sum(axis=-1).astype(
+        np.int32
+    )
+    cols = rng.choice(C, A, replace=False).astype(np.int32)
+    rows = rng.rand(A, D) < 0.5
+    bits = pack_bits(jnp.asarray(rows))
+    seg_cell = rng.randint(0, D + 1, size=(C, G)).astype(np.int32)
+    act_prev_packed = pack_act_conn(
+        jnp.asarray(act_prev), jnp.asarray(act_prev & (perm >= 0.05)), K
+    )
+    ref = table_update_xla(
+        jnp.asarray(syn), jnp.asarray(perm), act_prev_packed,
+        jnp.asarray(pun_word), jnp.asarray(cols), bits,
+        jnp.asarray(seg_cell), D, 0.03, 0.05, 2, 1,
+    )
+    got = table_update_tpu(
+        jnp.asarray(syn), jnp.asarray(perm), act_prev_packed,
+        jnp.asarray(pun_word), jnp.asarray(cols), bits, D, K,
+        0.03, 0.05, block=128, interpret=True,
+    )
+    for r, g in zip(ref[:2], got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_hash_matcher_matches_xla():
+    """The salted-hash matcher (dispatched at A < HASH_MAX_ACTIVE with a
+    128-chunkable lane axis) vs the XLA fallback — covers W=1 and W=2,
+    and a crafted active set that forces the overflow chain."""
+    from bithtm_tpu.ops.pallas_kernels import (
+        HASH_MAX_ACTIVE,
+        _HASH_CAP,
+        _hash7,
+        _matcher_inputs,
+        hash_salt,
+    )
+
+    rng = np.random.RandomState(6)
+    for C, D, J, A in ((2048, 32, 256, 41), (1024, 64, 256, 41),
+                       (2048, 32, 384, 47)):
+        assert A < HASH_MAX_ACTIVE and J % 128 == 0
+        N = C * D
+        syn = rng.randint(-1, N, size=(C, J)).astype(np.int32)
+        cols = rng.choice(C, A, replace=False).astype(np.int32)
+        rows = rng.rand(A, D) < 0.5
+        bits = pack_bits(jnp.asarray(rows))
+        _, hash_match, _, _ = _matcher_inputs(jnp.asarray(cols), bits, J)
+        assert hash_match
+        ref = np.asarray(
+            synapse_activation_xla(
+                jnp.asarray(syn), jnp.asarray(cols), bits, D
+            )
+        )
+        got = np.asarray(
+            synapse_activation_tpu(
+                jnp.asarray(syn), jnp.asarray(cols), bits, D,
+                block=128, interpret=True,
+            )
+        ) != 0
+        np.testing.assert_array_equal(got, ref)
+
+    # force bucket overflow: craft _HASH_CAP + 2 columns that collide
+    # into one bucket under the FIRST candidate salt (which the search
+    # then accepts, since 2 <= _HASH_OVF spill), so the overflow chain
+    # is genuinely exercised
+    from bithtm_tpu.ops.pallas_kernels import _HASH_SALT0
+
+    C, D, J, A = 4096, 32, 256, 40
+    salt0 = np.int32(np.int64(_HASH_SALT0) | 1)
+    h_all = np.asarray(
+        _hash7(jnp.arange(C, dtype=jnp.int32), jnp.int32(salt0)))
+    bucket = np.argmax(np.bincount(h_all, minlength=128))
+    over = np.where(h_all == bucket)[0][: _HASH_CAP + 2].astype(np.int32)
+    assert len(over) == _HASH_CAP + 2
+    rest = np.setdiff1d(
+        rng.choice(C, A, replace=False).astype(np.int32), over
+    )[: A - len(over)]
+    cols = np.concatenate([over, rest]).astype(np.int32)
+    assert len(cols) == A
+    salt = np.int32(hash_salt(jnp.asarray(cols)))
+    assert salt == salt0, "crafted set must accept the first salt"
+    h = np.asarray(_hash7(jnp.asarray(cols), jnp.int32(salt)))
+    assert np.max(np.bincount(h, minlength=128)) > _HASH_CAP
+    rows = rng.rand(len(cols), D) < 0.5
+    bits = pack_bits(jnp.asarray(rows))
+    syn = rng.randint(-1, C * D, size=(C, J)).astype(np.int32)
+    ref = np.asarray(
+        synapse_activation_xla(jnp.asarray(syn), jnp.asarray(cols), bits, D)
+    )
+    got = np.asarray(
+        synapse_activation_tpu(
+            jnp.asarray(syn), jnp.asarray(cols), bits, D,
+            block=128, interpret=True,
+        )
+    ) != 0
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_hash_table_update_matches_xla():
+    """Full fused table kernel through the salted-hash matcher branch."""
+    rng = np.random.RandomState(7)
+    C, G, K, A, D = 512, 4, 64, 41, 32
     J = G * K
     N = C * D
     syn = rng.randint(-1, N, size=(C, J)).astype(np.int32)
