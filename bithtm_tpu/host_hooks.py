@@ -95,6 +95,7 @@ class HostTemporalMemory:
             metrics={
                 "tm_bursting_columns": burst.sum(dtype=jnp.int32),
                 "tm_active_cells": active.sum(dtype=jnp.int32),
+                "tm_winner_cells": winner.sum(dtype=jnp.int32),
             },
         )
         return state, out

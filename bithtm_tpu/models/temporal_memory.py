@@ -796,6 +796,10 @@ def tm_step(
     metrics = {
         "tm_bursting_columns": col_burst.sum(dtype=jnp.int32),
         "tm_active_cells": act_rows.sum(dtype=jnp.int32),
+        # Wc-usage observable: next step's growth-candidate count is
+        # this step's winner count (truncated at resolved_winner_capacity
+        # and counted in tm_dropped_winner_candidates).
+        "tm_winner_cells": winner_rows.sum(dtype=jnp.int32),
         **learn_metrics,
     }
     if detailed_metrics:
