@@ -28,6 +28,10 @@ p.add_argument("--cell_dim", type=int, default=64)
 p.add_argument("--batch", type=int, default=64)
 p.add_argument("--input_dim", type=int, default=1000)
 p.add_argument("--steps", type=int, default=192)
+p.add_argument("--chunk", type=int, default=0,
+               help="split the scan into this many steps per device "
+                    "dispatch (0 = one dispatch); long single dispatches "
+                    "(~80 s at 2048 steps) have crashed the tunnel worker")
 p.add_argument("--repeats", type=int, default=3)
 p.add_argument("--patterns", type=int, default=100)
 p.add_argument("--caps", type=str, default="0:0,448:384,384:336",
@@ -63,26 +67,37 @@ for pair in args.caps.split(","):
     )
     rc = (cfg.tm.resolved_winner_capacity, cfg.tm.resolved_growth_capacity)
     state = htm_init_batch(jax.random.key(0), cfg, B)
-    run = jax.jit(lambda st: htm_scan(cfg, st, seq, True),
-                  donate_argnums=(0,))
-    state, metrics = run(state)
-    drain(metrics["bursting"])
+    chunk = args.chunk or T
+    assert T % chunk == 0
+    chunks = [seq[i:i + chunk] for i in range(0, T, chunk)]
+
+    def run(st):
+        ms = []
+        for c in chunks:
+            st, m = jax.jit(htm_scan, static_argnums=(0, 3),
+                            donate_argnums=(1,))(cfg, st, c, True)
+            ms.append(m)
+        drain(ms[-1]["bursting"])
+        return st, ms
+
+    state, metric_chunks = run(state)
     best = 0.0
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        state, metrics = run(state)
-        drain(metrics["bursting"])
+        state, metric_chunks = run(state)
         best = max(best, B * T / (time.perf_counter() - t0))
     drops = {
-        k: int(np.asarray(metrics[k].sum()))
+        k: sum(int(np.asarray(m[k].sum())) for m in metric_chunks)
         for k in ("tm_dropped_winner_candidates",
                   "tm_dropped_growth_segments",
                   "tm_dropped_new_segments")
     }
     peak = {
-        "winners": int(np.asarray(metrics["tm_winner_cells"]).max()),
-        "learn_segs": int(np.asarray(metrics["tm_learning_segments"]).max()),
+        "winners": max(int(np.asarray(m["tm_winner_cells"]).max())
+                       for m in metric_chunks),
+        "learn_segs": max(int(np.asarray(m["tm_learning_segments"]).max())
+                          for m in metric_chunks),
     }
     print(f"Wc={rc[0]} L={rc[1]}: {best:,.0f} steps/s  drops={drops}  "
           f"peak_usage={peak}", flush=True)
-    del state, metrics
+    del state, metric_chunks
