@@ -105,12 +105,21 @@ def main():
     p.add_argument("--log", type=str, default=None,
                    help="append per-step metrics to this JSONL file")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--compile_cache", nargs="?", const="", default=None,
+                   metavar="DIR",
+                   help="persistent XLA compilation cache (warm process "
+                        "start; optional DIR, default "
+                        "~/.cache/bithtm_tpu/xla)")
     args = p.parse_args()
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.compile_cache is not None:
+        from bithtm_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache or None)
     import functools
 
     import jax.numpy as jnp

@@ -244,3 +244,44 @@ def test_config_validation_errors():
     with _pytest.warns(UserWarning, match="synapse_capacity"):
         TMConfig(column_dim=8, cell_dim=4, active_columns=2,
                  synapse_capacity=8, segment_sampling_synapses=16)
+
+
+def test_compile_cache_populates_and_hits(tmp_path):
+    """enable_compilation_cache writes executables to the given dir and
+    a second process reuses them (cross-process warm start — the
+    production win measured in utils/compile_cache.py)."""
+    import subprocess
+    import sys as _sys
+
+    prog = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from bithtm_tpu.utils.compile_cache import enable_compilation_cache
+d = enable_compilation_cache({cache!r})
+assert d == {cache!r}
+import jax.numpy as jnp
+print(float(jax.jit(lambda x: (x * 3 + 1).sum())(jnp.arange(7.0))))
+"""
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    cache = str(tmp_path / "xla")
+    code = prog.format(repo=repo, cache=cache)
+    env = dict(_os.environ, JAX_PLATFORMS="cpu")
+    out1 = subprocess.run([_sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=120)
+    assert out1.returncode == 0, out1.stderr
+    entries = [f for f in _os.listdir(cache)]
+    assert entries, "cache dir is empty after a compile"
+    mtimes = {f: _os.path.getmtime(_os.path.join(cache, f))
+              for f in entries}
+    out2 = subprocess.run([_sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=120)
+    assert out2.returncode == 0, out2.stderr
+    assert out1.stdout == out2.stdout
+    # the second run served from the cache: same entries, none rewritten
+    assert set(_os.listdir(cache)) == set(entries)
+    for f, m in mtimes.items():
+        assert _os.path.getmtime(_os.path.join(cache, f)) == m
