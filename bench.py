@@ -49,8 +49,16 @@ def main():
                         "reference's G=8/K=48 head-room pool with f32 SP "
                         "permanences.")
     p.add_argument("--inference", action="store_true",
-                   help="serve with learning=False (frozen graph): the "
-                        "anomaly-scoring / prediction deployment path")
+                   help="learning=False (frozen graph), winner selection "
+                        "still on (the reference's return_winner_cell "
+                        "default)")
+    p.add_argument("--serve", action="store_true",
+                   help="the production serving path: htm_serve_scan — "
+                        "learning=False over the pre-packed frozen word "
+                        "table (4 B/slot kernel reads instead of 8) with "
+                        "compute_winner=False (anomaly scoring needs no "
+                        "winner cells). Bit-identical outputs to "
+                        "--inference minus the winner masks.")
     p.add_argument("--detailed_metrics", action="store_true",
                    help="include the full-table occupancy metrics "
                         "(tm_pool_occupancy etc.) in every step; off by "
@@ -111,12 +119,20 @@ def main():
 
     state = htm_init_batch(jax.random.key(0), cfg, B)
 
-    learn = not args.inference
-    suffix = "learning" if learn else "inference"
+    learn = not (args.inference or args.serve)
+    suffix = ("serving" if args.serve
+              else "learning" if learn else "inference")
     shape = f"{args.column_dim}x{args.cell_dim}"
     if args.mode == "htm":
-        run = lambda st: htm_scan(cfg, st, seq, learn,
-                                  detailed_metrics=args.detailed_metrics)
+        if args.serve:
+            from bithtm_tpu import htm_serve_scan
+
+            run = lambda st: htm_serve_scan(
+                cfg, st, seq, detailed_metrics=args.detailed_metrics)
+        else:
+            run = lambda st: htm_scan(
+                cfg, st, seq, learn,
+                detailed_metrics=args.detailed_metrics)
         metric = f"aggregate_timesteps_per_sec_{shape}_{suffix}"
     elif args.mode == "sp":
         # SpatialPooler only: overlap matmul + boosting + top-k + Hebbian

@@ -55,6 +55,7 @@ def htm_step(
     inhibition=None,
     temporal_memory=None,
     detailed_metrics: bool = True,
+    frozen_word: jnp.ndarray | None = None,
 ) -> tuple[HTMState, HTMOutput]:
     """One full timestep for a single stream. `learning` and
     `compute_winner` (the reference's `return_winner_cell`,
@@ -96,6 +97,7 @@ def htm_step(
                 # integrity must not depend on hook self-consistency
                 col_active=(sp_out.active_mask
                             if inhibition is None else None),
+                frozen_word=frozen_word,
             )
         else:
             tm_state, tm_out = temporal_memory(
@@ -107,13 +109,20 @@ def htm_step(
 
 
 def htm_step_batch(cfg, state, input_bits, learning=True,
-                   compute_winner=True, detailed_metrics=True):
+                   compute_winner=True, detailed_metrics=True,
+                   frozen_word=None):
     """Batched step: state pytree and inputs carry a leading stream axis.
     Streams are fully independent (pure data parallelism)."""
+    if frozen_word is None:
+        return jax.vmap(
+            lambda s, x: htm_step(cfg, s, x, learning, compute_winner,
+                                  detailed_metrics=detailed_metrics)
+        )(state, input_bits)
     return jax.vmap(
-        lambda s, x: htm_step(cfg, s, x, learning, compute_winner,
-                              detailed_metrics=detailed_metrics)
-    )(state, input_bits)
+        lambda s, x, fw: htm_step(cfg, s, x, learning, compute_winner,
+                                  detailed_metrics=detailed_metrics,
+                                  frozen_word=fw)
+    )(state, input_bits, frozen_word)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6),
@@ -161,6 +170,64 @@ def htm_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
             new_state, out = htm_step(cfg, carry, x, learning,
                                       compute_winner,
                                       detailed_metrics=detailed_metrics)
+        return new_state, out.metrics
+
+    return jax.lax.scan(body, state, inputs, unroll=unroll)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5),
+                   donate_argnums=(1,))
+def htm_serve_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
+                   unroll: int = 0, compute_winner: bool = False,
+                   detailed_metrics: bool = True):
+    """Frozen-graph serving scan: bit-identical results to
+    ``htm_scan(cfg, state, inputs, learning=False, ...)`` but the TM
+    forward reads a word table packed ONCE outside the scan
+    (`ops.active_set.pack_frozen_table`: cell id | connected bit, -1
+    when dead) instead of re-reading + re-comparing the f32 permanence
+    table every step — 4 B/slot instead of 8 on the serving hot op,
+    whose traffic dominates the inference step. `compute_winner`
+    defaults False (the anomaly-serving path has no use for winner
+    cells — the reference's `return_winner_cell=False`,
+    `networks.py:91`). Falls back to the standard scan for cell spaces
+    past the 24-bit word (C*D > 16.7M).
+
+    Same returns as `htm_scan`: (final state, [T]-leading metrics).
+    """
+    from ..ops.active_set import frozen_word_supported, pack_frozen_table
+
+    if not frozen_word_supported(cfg.tm.column_dim, cfg.tm.cell_dim):
+        return htm_scan(cfg, state, inputs, False, unroll,
+                        compute_winner, detailed_metrics)
+    if inputs.ndim not in (2, 3) or inputs.shape[-1] != cfg.input_dim:
+        raise ValueError(
+            f"htm_serve_scan expects [T, {cfg.input_dim}] or "
+            f"[T, B, {cfg.input_dim}] inputs, got {inputs.shape}"
+        )
+    batched = inputs.ndim == 3
+    if batched != (state.tm.prediction.ndim == 3):
+        raise ValueError(
+            "inputs batch shape does not match the state (use "
+            "htm_init_batch for [T, B, I] inputs, htm_init otherwise)"
+        )
+    if unroll == 0:
+        unroll = 4 if jax.default_backend() == "tpu" else 1
+
+    frozen = pack_frozen_table(state.tm.synapse_cell,
+                               state.tm.synapse_perm,
+                               cfg.tm.permanence_threshold)
+
+    def body(carry, x):
+        if batched:
+            new_state, out = htm_step_batch(cfg, carry, x, False,
+                                            compute_winner,
+                                            detailed_metrics,
+                                            frozen_word=frozen)
+        else:
+            new_state, out = htm_step(cfg, carry, x, False,
+                                      compute_winner,
+                                      detailed_metrics=detailed_metrics,
+                                      frozen_word=frozen)
         return new_state, out.metrics
 
     return jax.lax.scan(body, state, inputs, unroll=unroll)

@@ -62,6 +62,7 @@ from ..ops.active_set import (
     seg_counts_packed,
     seg_counts_packed_rows,
     synapse_activation_conn,
+    synapse_activation_frozen,
     take_small_table,
     table_update,
     take_percell,
@@ -653,6 +654,7 @@ def tm_step(
     epsilon: float | None = None,
     detailed_metrics: bool = True,
     col_active: jnp.ndarray | None = None,
+    frozen_word: jnp.ndarray | None = None,
 ):
     """One TM timestep for a single stream.
 
@@ -667,7 +669,15 @@ def tm_step(
     (the reference exposes it per `process` call, `networks.py:91`);
     it becomes part of the jit-static config, so every distinct value
     compiles a fresh step — don't sweep it per call.
+
+    `frozen_word` (inference only): a `pack_frozen_table` word table
+    for this state's synapse tables — the forward pass then reads
+    4 B/slot instead of syn+perm's 8 (the serving fast path,
+    `htm_serve_scan`). Results are bit-identical to the unpacked path.
     """
+    if frozen_word is not None and learning:
+        raise ValueError("frozen_word is an inference-only fast path; "
+                         "learning mutates the tables it snapshots")
     if epsilon is not None and epsilon != cfg.epsilon:
         import dataclasses
 
@@ -751,10 +761,15 @@ def tm_step(
         perm_full = state.synapse_perm
         seg_cell = state.seg_cell
         learn_metrics = {}
-        act_now = synapse_activation_conn(
-            syn_full, perm_full, active_cols, act_bits, D,
-            cfg.permanence_threshold, K,
-        )
+        if frozen_word is not None:
+            act_now = synapse_activation_frozen(
+                frozen_word, active_cols, act_bits, D, K,
+            )
+        else:
+            act_now = synapse_activation_conn(
+                syn_full, perm_full, active_cols, act_bits, D,
+                cfg.permanence_threshold, K,
+            )
         potential, connected = seg_counts_packed(act_now, G, K)  # (C, G)
         matching = potential >= cfg.segment_matching_threshold
         seg_active = matching & (

@@ -295,6 +295,62 @@ def synapse_activation_conn(
     return pack_act_conn(act_b, syn_perm >= perm_threshold, synapses)
 
 
+FROZEN_CELL_BITS = 24  # cell id field of the frozen serving word
+
+
+def frozen_word_supported(column_dim: int, cell_dim: int) -> bool:
+    """The frozen serving word packs the cell id into 24 bits —
+    plenty (2^24 = 16.7M cells = 8x the 16K x 64 scaled config)."""
+    return column_dim * cell_dim <= (1 << FROZEN_CELL_BITS)
+
+
+def pack_frozen_table(syn_cell: jnp.ndarray, syn_perm: jnp.ndarray,
+                      perm_threshold: float) -> jnp.ndarray:
+    """Pack a frozen (read-only) distal table for serving: ONE i32 per
+    slot — cell id (bits 0-23) | connected (bit 24; perm >= threshold),
+    -1 when the slot is dead or free (syn < 0 or perm < 0, the implicit
+    death encoding). While the graph is frozen the permanence compare
+    is invariant, so the serving forward reads 4 B/slot instead of
+    syn (4 B) + perm f32 (4 B). Elementwise — batched tables pack
+    without vmap."""
+    live = (syn_cell >= 0) & (syn_perm >= 0.0)
+    conn = (syn_perm >= perm_threshold).astype(jnp.int32)
+    return jnp.where(
+        live, syn_cell | (conn << FROZEN_CELL_BITS), jnp.int32(-1)
+    )
+
+
+def synapse_activation_frozen(
+    frozen_word: jnp.ndarray,
+    cols: jnp.ndarray,
+    bits: jnp.ndarray,
+    cell_dim: int,
+    synapses: int,
+):
+    """`synapse_activation_conn` over a `pack_frozen_table` word table
+    (the serving fast path: 4 B/slot of table traffic instead of 8).
+    Identical results on the Pallas and XLA paths — and bit-identical
+    to `synapse_activation_conn` on the unpacked table, which is what
+    `htm_serve_scan`'s equality contract rests on."""
+    if jax.default_backend() == "tpu":
+        block = _pallas_block(frozen_word.shape[0],
+                              4 * frozen_word.shape[1],
+                              active_uses_gather(cols,
+                                                 frozen_word.shape[1]))
+        if block:
+            from .pallas_kernels import synapse_activation_frozen_tpu
+
+            return synapse_activation_frozen_tpu(
+                frozen_word, cols, bits, cell_dim, synapses, block=block,
+            )
+    live = frozen_word >= 0
+    cell = jnp.where(live, frozen_word & ((1 << FROZEN_CELL_BITS) - 1),
+                     jnp.int32(-1))
+    act_b = synapse_activation_xla(cell, cols, bits, cell_dim) & live
+    conn_b = (frozen_word >> FROZEN_CELL_BITS) == 1
+    return pack_act_conn(act_b, conn_b, synapses)
+
+
 def synapse_activation_xla(
     syn_cell: jnp.ndarray,
     cols: jnp.ndarray,

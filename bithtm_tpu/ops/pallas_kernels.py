@@ -699,6 +699,71 @@ def synapse_activation_conn_tpu(
     )(*match_ops, syn_cell, syn_perm)
 
 
+def _act_frozen_kernel(*refs, cell_dim: int, num_active: int,
+                       words: int, scale: int, v_dtype, bisect_L: int,
+                       hash_match: bool, block: int):
+    """Serving-path variant of `_act_conn_kernel` over a pre-packed
+    frozen table: ONE i32 word per slot (cell id in bits 0-23, the
+    connected bit — perm >= threshold, precomputed once at freeze time —
+    in bit 24, -1 when dead/free). Reads 4 B/slot instead of the
+    syn+perm 8 B — the permanence compare is invariant while the graph
+    is frozen, so serving need not re-read f32 permanences every step."""
+    *match_refs, word_ref, v_ref = refs
+    word = word_ref[:]                               # (Cb, J) int32
+    live = word >= 0
+    cell = word & jnp.int32(0x00FFFFFF)              # 0xFFFFFF when dead
+    conn = (word >> jnp.int32(24)) == jnp.int32(1)   # 0 when dead (-1>>24=-1)
+    col = cell // cell_dim                           # out-of-range when dead
+    lo = cell - col * cell_dim
+    bitpos = (lo % 32).astype(jnp.uint32)
+    matched = _matched_any(match_refs, col, lo, num_active=num_active,
+                           words=words, bisect_L=bisect_L,
+                           hash_match=hash_match, block=block)
+    act = (((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)) & live
+    one = jnp.float32(1.0)
+    v_ref[:] = jnp.where(
+        act, jnp.where(conn, one + scale, one), jnp.float32(0.0)
+    ).astype(v_dtype)
+
+
+def synapse_activation_frozen_tpu(
+    frozen_word: jnp.ndarray,  # (C, J) int32 packed (see pack_frozen_table)
+    cols: jnp.ndarray,         # (A,) int32
+    bits: jnp.ndarray,         # (A, W) uint32
+    cell_dim: int,
+    synapses: int,
+    block: int = 256,
+    interpret: bool = False,
+):
+    """Frozen-serving activation + connected-activity: same contract as
+    `synapse_activation_conn_tpu` (ONE packed activity mask,
+    v = act + scale*conn) but over the 4 B/slot frozen word table."""
+    from .active_set import act_dtype, act_scale
+
+    C, J = frozen_word.shape
+    A, W = bits.shape
+    block = min(block, C)
+    assert C % block == 0, (C, block)
+
+    bisect_L, hash_match, match_ops, match_specs = _matcher_inputs(
+        cols, bits, J)
+    kernel = functools.partial(
+        _act_frozen_kernel, cell_dim=cell_dim, num_active=A, words=W,
+        scale=act_scale(synapses), v_dtype=act_dtype(synapses),
+        bisect_L=bisect_L, hash_match=hash_match, block=block,
+    )
+    big = lambda: pl.BlockSpec((block, J), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C, J), act_dtype(synapses)),
+        grid=(C // block,),
+        in_specs=[*match_specs, big()],
+        out_specs=big(),
+        interpret=interpret,
+    )(*match_ops, frozen_word)
+
+
 def _small_take_kernel(tab_ref, idx_ref, out_ref, *, chunks: int):
     tab = tab_ref[:]                               # (R8, 128)
     idx = idx_ref[:]                               # (S, 128) int32

@@ -171,3 +171,49 @@ def test_shape_errors_are_friendly():
         htm_scan(cfg, state, jnp.zeros((5, cfg.input_dim + 1), bool), True)
     with pytest.raises(ValueError, match="batched"):
         htm_scan(cfg, state, jnp.zeros((5, 2, cfg.input_dim), bool), True)
+
+
+def test_serve_scan_bit_equals_inference_scan():
+    """`htm_serve_scan` (the packed frozen-word serving path) produces
+    the exact state trajectory and metrics of
+    `htm_scan(learning=False)`, batched and unbatched, including the
+    carried packed activity (`synapse_act`) a later learning step would
+    consume."""
+    from bithtm_tpu import htm_serve_scan
+
+    def clone(t):
+        return jax.tree.map(lambda x: x.copy(), t)
+
+    def assert_tree_equal(a, b):
+        for (p, x), (_, y) in zip(jax.tree_util.tree_leaves_with_path(a),
+                                  jax.tree_util.tree_leaves_with_path(b)):
+            if hasattr(x, "dtype") and jnp.issubdtype(
+                    x.dtype, jax.dtypes.prng_key):
+                x, y = jax.random.key_data(x), jax.random.key_data(y)
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=str(p))
+
+    cfg = small_cfg()
+    rng = np.random.RandomState(11)
+    for batched in (False, True):
+        if batched:
+            state = htm_init_batch(jax.random.key(4), cfg, 3)
+            train = jnp.asarray(rng.rand(30, 3, cfg.input_dim) < 0.2)
+            serve = jnp.asarray(rng.rand(8, 3, cfg.input_dim) < 0.2)
+        else:
+            state = htm_init(jax.random.key(4), cfg)
+            train = jnp.asarray(rng.rand(30, cfg.input_dim) < 0.2)
+            serve = jnp.asarray(rng.rand(8, cfg.input_dim) < 0.2)
+        state, _ = htm_scan(cfg, state, train, True)
+        s1, m1 = htm_scan(cfg, clone(state), serve, False, 0, False)
+        s2, m2 = htm_serve_scan(cfg, clone(state), serve)
+        assert_tree_equal(s1, s2)
+        assert sorted(m1) == sorted(m2)
+        for k in m1:
+            np.testing.assert_array_equal(np.asarray(m1[k]),
+                                          np.asarray(m2[k]), err_msg=k)
+        # a learning step resumed from the served state is also
+        # bit-identical (synapse_act carry correctness)
+        l1, _ = htm_scan(cfg, s1, train[:2], True)
+        l2, _ = htm_scan(cfg, s2, train[:2], True)
+        assert_tree_equal(l1, l2)

@@ -388,3 +388,50 @@ def test_small_table_take_kernel_parity():
                                      jnp.asarray(over), interpret=True)
             )
             np.testing.assert_array_equal(got2, 0)
+
+
+def test_frozen_kernel_matches_conn_paths():
+    """The frozen-serving word kernel (one packed i32 per slot) is
+    bit-identical to both the XLA frozen decode and the unpacked
+    `synapse_activation_conn` — the contract `htm_serve_scan`'s
+    bit-equality rests on."""
+    from bithtm_tpu.ops.active_set import (
+        pack_frozen_table,
+        synapse_activation_conn,
+        synapse_activation_frozen,
+    )
+    from bithtm_tpu.ops.pallas_kernels import synapse_activation_frozen_tpu
+
+    rng = np.random.RandomState(5)
+    # J=32 exercises the compare-chain matcher; J=128 the salted hash
+    for D, A, K in ((4, 3, 8), (40, 3, 8), (32, 6, 8), (32, 6, 32)):
+        C, G = 16, 4
+        N = C * D
+        syn = rng.randint(-1, N, size=(C, G * K)).astype(np.int32)
+        # stale punishment-death victims (syn >= 0, perm < 0) must pack
+        # to dead words
+        perm = np.where(
+            syn >= 0,
+            rng.rand(C, G * K).astype(np.float32) * 1.2 - 0.2,
+            -1.0,
+        ).astype(np.float32)
+        cols = np.sort(rng.choice(C, A, replace=False)).astype(np.int32)
+        rows = rng.rand(A, D) < 0.5
+        bits = pack_bits(jnp.asarray(rows))
+
+        word = pack_frozen_table(jnp.asarray(syn), jnp.asarray(perm), 0.5)
+        assert np.asarray(
+            (word >= 0) == ((syn >= 0) & (perm >= 0))
+        ).all()
+
+        ref_v = np.asarray(synapse_activation_conn(
+            jnp.asarray(syn), jnp.asarray(perm), jnp.asarray(cols),
+            bits, D, 0.5, K,
+        ), np.float32)
+        xla_v = np.asarray(synapse_activation_frozen(
+            word, jnp.asarray(cols), bits, D, K), np.float32)
+        np.testing.assert_array_equal(xla_v, ref_v)
+        kern_v = np.asarray(synapse_activation_frozen_tpu(
+            word, jnp.asarray(cols), bits, D, K, block=8, interpret=True,
+        ), np.float32)
+        np.testing.assert_array_equal(kern_v, ref_v)
