@@ -119,6 +119,9 @@ def main():
 
     state = htm_init_batch(jax.random.key(0), cfg, B)
 
+    if args.serve and args.mode != "htm":
+        p.error("--serve is the full-pipeline serving path; it has no "
+                "--mode sp/tm form (use --inference for those)")
     learn = not (args.inference or args.serve)
     suffix = ("serving" if args.serve
               else "learning" if learn else "inference")

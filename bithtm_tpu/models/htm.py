@@ -125,22 +125,12 @@ def htm_step_batch(cfg, state, input_bits, learning=True,
     )(state, input_bits, frozen_word)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6),
-                   donate_argnums=(1,))
-def htm_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
-             learning: bool = True, unroll: int = 0,
-             compute_winner: bool = True, detailed_metrics: bool = True):
-    """Scan a [T, ...] (or [T, B, ...] batched) input sequence through the
-    recurrence. Carry is donated: the synapse pool updates in place.
-
-    `unroll=0` picks automatically: 4 on TPU (amortizes the scan loop's
-    per-iteration bookkeeping, measured +20% throughput for ~3x compile
-    time), 1 elsewhere (keeps CPU test compiles fast).
-    `compute_winner=False` (inference only) skips the winner-selection
-    jitters — the pure anomaly-serving fast path.
-
-    Returns (final_state, per-step metrics dict of [T]-leading arrays).
-    """
+def _scan_impl(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
+               learning: bool, unroll: int, compute_winner: bool,
+               detailed_metrics: bool, frozen_word=None):
+    """Shared validation + scan body for `htm_scan` and
+    `htm_serve_scan` — ONE implementation, so the serve path's
+    bit-equality contract cannot drift from the standard scan."""
     if inputs.ndim not in (2, 3) or inputs.shape[-1] != cfg.input_dim:
         raise ValueError(
             f"htm_scan expects [T, {cfg.input_dim}] or "
@@ -165,14 +155,36 @@ def htm_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
         if batched:
             new_state, out = htm_step_batch(cfg, carry, x, learning,
                                             compute_winner,
-                                            detailed_metrics)
+                                            detailed_metrics,
+                                            frozen_word=frozen_word)
         else:
             new_state, out = htm_step(cfg, carry, x, learning,
                                       compute_winner,
-                                      detailed_metrics=detailed_metrics)
+                                      detailed_metrics=detailed_metrics,
+                                      frozen_word=frozen_word)
         return new_state, out.metrics
 
     return jax.lax.scan(body, state, inputs, unroll=unroll)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6),
+                   donate_argnums=(1,))
+def htm_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
+             learning: bool = True, unroll: int = 0,
+             compute_winner: bool = True, detailed_metrics: bool = True):
+    """Scan a [T, ...] (or [T, B, ...] batched) input sequence through the
+    recurrence. Carry is donated: the synapse pool updates in place.
+
+    `unroll=0` picks automatically: 4 on TPU (amortizes the scan loop's
+    per-iteration bookkeeping, measured +20% throughput for ~3x compile
+    time), 1 elsewhere (keeps CPU test compiles fast).
+    `compute_winner=False` (inference only) skips the winner-selection
+    jitters — the pure anomaly-serving fast path.
+
+    Returns (final_state, per-step metrics dict of [T]-leading arrays).
+    """
+    return _scan_impl(cfg, state, inputs, learning, unroll,
+                      compute_winner, detailed_metrics)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5),
@@ -197,37 +209,11 @@ def htm_serve_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
     from ..ops.active_set import frozen_word_supported, pack_frozen_table
 
     if not frozen_word_supported(cfg.tm.column_dim, cfg.tm.cell_dim):
-        return htm_scan(cfg, state, inputs, False, unroll,
-                        compute_winner, detailed_metrics)
-    if inputs.ndim not in (2, 3) or inputs.shape[-1] != cfg.input_dim:
-        raise ValueError(
-            f"htm_serve_scan expects [T, {cfg.input_dim}] or "
-            f"[T, B, {cfg.input_dim}] inputs, got {inputs.shape}"
-        )
-    batched = inputs.ndim == 3
-    if batched != (state.tm.prediction.ndim == 3):
-        raise ValueError(
-            "inputs batch shape does not match the state (use "
-            "htm_init_batch for [T, B, I] inputs, htm_init otherwise)"
-        )
-    if unroll == 0:
-        unroll = 4 if jax.default_backend() == "tpu" else 1
-
+        return _scan_impl(cfg, state, inputs, False, unroll,
+                          compute_winner, detailed_metrics)
     frozen = pack_frozen_table(state.tm.synapse_cell,
                                state.tm.synapse_perm,
                                cfg.tm.permanence_threshold)
-
-    def body(carry, x):
-        if batched:
-            new_state, out = htm_step_batch(cfg, carry, x, False,
-                                            compute_winner,
-                                            detailed_metrics,
-                                            frozen_word=frozen)
-        else:
-            new_state, out = htm_step(cfg, carry, x, False,
-                                      compute_winner,
-                                      detailed_metrics=detailed_metrics,
-                                      frozen_word=frozen)
-        return new_state, out.metrics
-
-    return jax.lax.scan(body, state, inputs, unroll=unroll)
+    return _scan_impl(cfg, state, inputs, False, unroll,
+                      compute_winner, detailed_metrics,
+                      frozen_word=frozen)

@@ -74,8 +74,10 @@ for pair in args.caps.split(","):
     def run(st):
         ms = []
         for c in chunks:
-            st, m = jax.jit(htm_scan, static_argnums=(0, 3),
-                            donate_argnums=(1,))(cfg, st, c, True)
+            # htm_scan is already jitted with these static/donate
+            # settings — wrapping it in a fresh jax.jit per call would
+            # retrace inside the timed region
+            st, m = htm_scan(cfg, st, c, True)
             ms.append(m)
         drain(ms[-1]["bursting"])
         return st, ms

@@ -47,21 +47,16 @@ if args.plain:
     run = lambda st: htm_scan(cfg, st, seq, False, 0, cw)
 elif args.no_donate:
     from bithtm_tpu.models.htm import htm_serve_scan as _f
-    import functools
 
-    run = jax.jit(_f.__wrapped__, static_argnums=(0, 3, 4, 5))
-    run = functools.partial(run, cfg)
-    run = lambda st, _r=run: _r(st, seq)
+    _nd = jax.jit(_f.__wrapped__, static_argnums=(0, 3, 4, 5))
+    run = lambda st: _nd(cfg, st, seq, 0, bool(args.winners))
 else:
     cw = bool(args.winners)
     run = lambda st: htm_serve_scan(cfg, st, seq, 0, cw)
 
 for i in range(args.calls):
     t0 = time.perf_counter()
-    if args.plain or not args.no_donate:
-        state, metrics = run(state)
-    else:
-        state, metrics = run(state)
+    state, metrics = run(state)
     drain(metrics["bursting"])
     print(f"call {i}: {time.perf_counter() - t0:.2f}s "
           f"({B * T / (time.perf_counter() - t0):,.0f} steps/s)",
