@@ -32,6 +32,9 @@ def main():
     p.add_argument("--fast", action="store_true",
                    help="throughput preset (G=4/K=64 + int16 SP)")
     p.add_argument("--inference", action="store_true")
+    p.add_argument("--serve", action="store_true",
+                   help="profile htm_serve_scan (frozen-word table, "
+                        "winner pass off)")
     p.add_argument("--detailed_metrics", action="store_true",
                    help="include the full-table occupancy metrics (bench.py "
                         "serves with them off)")
@@ -43,7 +46,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bithtm_tpu import htm_init_batch, htm_scan, make_htm_config
+    from bithtm_tpu import (htm_init_batch, htm_scan, htm_serve_scan,
+                            make_htm_config)
 
     overrides = {}
     if args.fast:
@@ -59,10 +63,14 @@ def main():
     rng = np.random.RandomState(0)
     seq = jnp.asarray(rng.rand(T, B, args.input_dim) < 0.2)
     state = htm_init_batch(jax.random.key(0), cfg, B)
-    learn = not args.inference
+    learn = not (args.inference or args.serve)
 
-    run = lambda st: htm_scan(cfg, st, seq, learn,
-                              detailed_metrics=args.detailed_metrics)
+    if args.serve:
+        run = lambda st: htm_serve_scan(
+            cfg, st, seq, detailed_metrics=args.detailed_metrics)
+    else:
+        run = lambda st: htm_scan(cfg, st, seq, learn,
+                                  detailed_metrics=args.detailed_metrics)
     state, m = run(state)  # compile + warm
     _ = float(np.asarray(m["bursting"][-1]).sum())
     jax.block_until_ready(state)
@@ -106,8 +114,9 @@ def main():
         dur_by_op[name] += d
         total += d
 
+    mode = "serve" if args.serve else ("learning" if learn else "inference")
     print(f"# config: fast={args.fast} B={B} steps={T} "
-          f"{args.column_dim}x{args.cell_dim} learning={learn}")
+          f"{args.column_dim}x{args.cell_dim} mode={mode}")
     print(f"# total device time: {total:.1f} ms "
           f"({total / T:.2f} ms/step)")
     rows = sorted(dur_by_op.items(), key=lambda kv: -kv[1])
