@@ -54,11 +54,10 @@ def main():
                         "default)")
     p.add_argument("--serve", action="store_true",
                    help="the production serving path: htm_serve_scan — "
-                        "learning=False over the pre-packed frozen word "
-                        "table (4 B/slot kernel reads instead of 8) with "
-                        "compute_winner=False (anomaly scoring needs no "
-                        "winner cells). Bit-identical outputs to "
-                        "--inference minus the winner masks.")
+                        "learning=False with compute_winner=False (anomaly "
+                        "scoring needs no winner cells; dropping the winner "
+                        "pass is the measured serving win). Bit-identical "
+                        "outputs to --inference minus the winner masks.")
     p.add_argument("--detailed_metrics", action="store_true",
                    help="include the full-table occupancy metrics "
                         "(tm_pool_occupancy etc.) in every step; off by "

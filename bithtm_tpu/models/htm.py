@@ -192,28 +192,25 @@ def htm_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
 def htm_serve_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
                    unroll: int = 0, compute_winner: bool = False,
                    detailed_metrics: bool = True):
-    """Frozen-graph serving scan: bit-identical results to
-    ``htm_scan(cfg, state, inputs, learning=False, ...)`` but the TM
-    forward reads a word table packed ONCE outside the scan
-    (`ops.active_set.pack_frozen_table`: cell id | connected bit, -1
-    when dead) instead of re-reading + re-comparing the f32 permanence
-    table every step — 4 B/slot instead of 8 on the serving hot op,
-    whose traffic dominates the inference step. `compute_winner`
-    defaults False (the anomaly-serving path has no use for winner
-    cells — the reference's `return_winner_cell=False`,
-    `networks.py:91`). Falls back to the standard scan for cell spaces
-    past the 24-bit word (C*D > 16.7M).
+    """The serving scan: ``htm_scan`` with learning off and
+    `compute_winner` defaulting False — the anomaly-serving path has no
+    use for winner cells (the reference's `return_winner_cell=False`,
+    `networks.py:91`), and skipping the winner pass (jittered
+    best-matching, per-cell maxes, RNG use) is the measured serving
+    win (+5-8% over winner-on inference at both the default and 16K
+    configs). Results are bit-identical to
+    ``htm_scan(..., learning=False, compute_winner=False)``.
+
+    A frozen-word table variant (pack cell|conn into one i32/slot to
+    halve the forward kernel's table reads — `pack_frozen_table` +
+    `synapse_activation_frozen`, both kept and parity-tested) was
+    measured and NOT adopted: the activation kernel is gather/VPU-bound
+    under both matcher forms, so the byte savings buy nothing (default
+    config −2%, 16K −1%; see docs/PERFORMANCE.md "Tried and
+    rejected"). Pass ``frozen_word`` to `tm_step` directly to
+    re-measure on hardware where the balance differs.
 
     Same returns as `htm_scan`: (final state, [T]-leading metrics).
     """
-    from ..ops.active_set import frozen_word_supported, pack_frozen_table
-
-    if not frozen_word_supported(cfg.tm.column_dim, cfg.tm.cell_dim):
-        return _scan_impl(cfg, state, inputs, False, unroll,
-                          compute_winner, detailed_metrics)
-    frozen = pack_frozen_table(state.tm.synapse_cell,
-                               state.tm.synapse_perm,
-                               cfg.tm.permanence_threshold)
     return _scan_impl(cfg, state, inputs, False, unroll,
-                      compute_winner, detailed_metrics,
-                      frozen_word=frozen)
+                      compute_winner, detailed_metrics)

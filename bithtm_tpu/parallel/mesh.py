@@ -119,21 +119,13 @@ def sharded_step(cfg, mesh: Mesh, learning: bool = True):
 
 def sharded_serve_step(cfg, mesh: Mesh):
     """The serving step (`htm_serve_scan` semantics: learning off,
-    winner pass off, frozen-word table) with explicit mesh shardings —
-    model-parallel serving for configs whose tables exceed one chip.
+    winner pass off) with explicit mesh shardings — model-parallel
+    serving for configs whose tables exceed one chip. Bit-identical to
+    the unsharded serve path
+    (`tests/test_parallel.py::test_sharded_serve_matches_unsharded`)::
 
-    The frozen word table is packed ONCE (``pack_frozen_table`` on the
-    sharded state — elementwise, so it inherits the (data, model, ...)
-    table layout) and passed as the step's third argument::
-
-        frozen = pack_frozen_table(state.tm.synapse_cell,
-                                   state.tm.synapse_perm,
-                                   cfg.tm.permanence_threshold)
         step = sharded_serve_step(cfg, mesh)
-        state, metrics = step(state, x, frozen)
-
-    Bit-identical to the unsharded serve path
-    (`tests/test_parallel.py::test_sharded_serve_matches_unsharded`).
+        state, metrics = step(state, x)
     """
     from ..models.htm import htm_step_batch
 
@@ -143,20 +135,16 @@ def sharded_serve_step(cfg, mesh: Mesh):
         is_leaf=lambda x: isinstance(x, P),
     )
     input_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
-    frozen_sharding = NamedSharding(
-        mesh, P(DATA_AXIS, MODEL_AXIS, None)   # (B, C, G*K), like the tables
-    )
 
-    def step(state, x, frozen):
+    def step(state, x):
         new_state, out = htm_step_batch(
             cfg, state, x, learning=False, compute_winner=False,
-            frozen_word=frozen,
         )
         return new_state, out.metrics
 
     return jax.jit(
         step,
-        in_shardings=(shardings, input_sharding, frozen_sharding),
+        in_shardings=(shardings, input_sharding),
         out_shardings=(shardings, None),
         donate_argnums=(0,),
     )

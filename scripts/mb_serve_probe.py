@@ -22,6 +22,8 @@ p.add_argument("--no_donate", action="store_true")
 p.add_argument("--calls", type=int, default=4)
 p.add_argument("--steps", type=int, default=48)
 p.add_argument("--batch", type=int, default=256)
+p.add_argument("--column_dim", type=int, default=2048)
+p.add_argument("--cell_dim", type=int, default=32)
 args = p.parse_args()
 
 import jax
@@ -33,7 +35,7 @@ from bithtm_tpu.utils.profiling import drain
 print(f"# devices: {jax.devices()}", file=sys.stderr, flush=True)
 
 cfg = make_htm_config(
-    input_dim=1000, column_dim=2048, cell_dim=32,
+    input_dim=1000, column_dim=args.column_dim, cell_dim=args.cell_dim,
     segments_per_column=4, synapse_capacity=64,
     sp_overrides={"permanence_dtype": "int16"},
 )

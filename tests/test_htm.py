@@ -217,3 +217,41 @@ def test_serve_scan_bit_equals_inference_scan():
         l1, _ = htm_scan(cfg, s1, train[:2], True)
         l2, _ = htm_scan(cfg, s2, train[:2], True)
         assert_tree_equal(l1, l2)
+
+
+def test_frozen_word_step_bit_equals_unpacked():
+    """The kept (not-dispatched-by-default) frozen-word forward:
+    `htm_step_batch(..., frozen_word=...)` over a `pack_frozen_table`
+    snapshot is bit-equal to the unpacked inference step — the contract
+    for re-enabling it on hardware where the activation kernel is
+    bandwidth- rather than gather-bound (see docs/PERFORMANCE.md
+    "Tried and rejected")."""
+    from bithtm_tpu.ops.active_set import pack_frozen_table
+
+    cfg = small_cfg()
+    B = 3
+    rng = np.random.RandomState(13)
+    state = htm_init_batch(jax.random.key(9), cfg, B)
+    train = jnp.asarray(rng.rand(25, B, cfg.input_dim) < 0.2)
+    state, _ = htm_scan(cfg, state, train, True)
+    state = jax.device_get(state)
+
+    frozen = pack_frozen_table(jnp.asarray(state.tm.synapse_cell),
+                               jnp.asarray(state.tm.synapse_perm),
+                               cfg.tm.permanence_threshold)
+    s1 = jax.tree.map(jnp.asarray, state)
+    s2 = jax.tree.map(jnp.asarray, state)
+    for t in range(4):
+        x = jnp.asarray(rng.rand(B, cfg.input_dim) < 0.2)
+        s1, o1 = htm_step_batch(cfg, s1, x, learning=False,
+                                compute_winner=False)
+        s2, o2 = htm_step_batch(cfg, s2, x, learning=False,
+                                compute_winner=False, frozen_word=frozen)
+        np.testing.assert_array_equal(np.asarray(o1.tm.prediction),
+                                      np.asarray(o2.tm.prediction))
+        for k in o1.metrics:
+            np.testing.assert_array_equal(np.asarray(o1.metrics[k]),
+                                          np.asarray(o2.metrics[k]),
+                                          err_msg=k)
+    np.testing.assert_array_equal(np.asarray(s1.tm.synapse_act),
+                                  np.asarray(s2.tm.synapse_act))

@@ -113,12 +113,9 @@ def test_local_batch_slice_single_process():
 
 
 def test_sharded_serve_matches_unsharded():
-    """Model-parallel serving: the frozen-word serve step over a
-    (2 data x 4 model) mesh is bit-equal to the unsharded serve path —
-    the frozen table packs on the sharded state (elementwise, inherits
-    the table layout) and the step runs winner-pass-free."""
+    """Model-parallel serving: the winner-pass-free serve step over a
+    (2 data x 4 model) mesh is bit-equal to the unsharded serve path."""
     from bithtm_tpu.models.htm import htm_scan
-    from bithtm_tpu.ops.active_set import pack_frozen_table
     from bithtm_tpu.parallel.mesh import sharded_serve_step
 
     cfg = small_cfg()
@@ -132,33 +129,21 @@ def test_sharded_serve_matches_unsharded():
     )
     trained = jax.device_get(trained)
 
-    # unsharded serve reference (frozen path, winner pass off)
-    frozen_ref = pack_frozen_table(
-        jnp.asarray(trained.tm.synapse_cell),
-        jnp.asarray(trained.tm.synapse_perm),
-        cfg.tm.permanence_threshold,
-    )
-    step_ref = jax.jit(lambda s, x, f: (
+    step_ref = jax.jit(lambda s, x: (
         lambda r: (r[0], r[1].metrics)
-    )(htm_step_batch(cfg, s, x, learning=False, compute_winner=False,
-                     frozen_word=f)))
+    )(htm_step_batch(cfg, s, x, learning=False, compute_winner=False)))
     state_ref = jax.tree.map(jnp.asarray, trained)
     outs_ref = []
     for x in xs:
-        state_ref, m = step_ref(state_ref, x, frozen_ref)
+        state_ref, m = step_ref(state_ref, x)
         outs_ref.append(m["bursting"])
 
-    # sharded serve
     mesh = make_mesh(n_data=2, n_model=4)
     state_sh = shard_batched_state(jax.tree.map(jnp.asarray, trained), mesh)
-    frozen_sh = jax.jit(
-        lambda sc, sp: pack_frozen_table(sc, sp,
-                                         cfg.tm.permanence_threshold)
-    )(state_sh.tm.synapse_cell, state_sh.tm.synapse_perm)
     step_sh = sharded_serve_step(cfg, mesh)
     outs_sh = []
     for x in xs:
-        state_sh, m = step_sh(state_sh, x, frozen_sh)
+        state_sh, m = step_sh(state_sh, x)
         outs_sh.append(m["bursting"])
 
     np.testing.assert_array_equal(np.asarray(jax.device_get(outs_sh)),
