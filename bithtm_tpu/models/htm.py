@@ -80,6 +80,12 @@ def htm_step(
             f"htm_step expects a single ({cfg.input_dim},) input SDR, got "
             f"{input_bits.shape}; use htm_step_batch for a (B, I) batch"
         )
+    if frozen_word is not None and temporal_memory is not None:
+        raise ValueError(
+            "frozen_word is a fast path of the built-in tm_step; a "
+            "temporal_memory hook would silently ignore it — pass the "
+            "packed table to the hook yourself instead"
+        )
     key, sub = jax.random.split(state.key)
     with jax.named_scope("sp"):
         sp_state, sp_out = sp_step(cfg.sp, state.sp, input_bits, learning,

@@ -305,14 +305,40 @@ def frozen_word_supported(column_dim: int, cell_dim: int) -> bool:
 
 
 def pack_frozen_table(syn_cell: jnp.ndarray, syn_perm: jnp.ndarray,
-                      perm_threshold: float) -> jnp.ndarray:
+                      perm_threshold: float,
+                      num_cells: int | None = None) -> jnp.ndarray:
     """Pack a frozen (read-only) distal table for serving: ONE i32 per
     slot — cell id (bits 0-23) | connected (bit 24; perm >= threshold),
     -1 when the slot is dead or free (syn < 0 or perm < 0, the implicit
     death encoding). While the graph is frozen the permanence compare
     is invariant, so the serving forward reads 4 B/slot instead of
     syn (4 B) + perm f32 (4 B). Elementwise — batched tables pack
-    without vmap."""
+    without vmap.
+
+    Cell ids must fit the 24-bit field (`frozen_word_supported`): a
+    larger id would collide with the connected bit and silently corrupt
+    serving results. Pass ``num_cells`` (= column_dim * cell_dim) for a
+    static geometry check; without it, concrete (non-traced) tables are
+    checked against their actual max id."""
+    if num_cells is not None:
+        if num_cells > (1 << FROZEN_CELL_BITS):
+            raise ValueError(
+                f"pack_frozen_table: num_cells={num_cells} exceeds the "
+                f"frozen word's {FROZEN_CELL_BITS}-bit cell-id field "
+                f"(max {1 << FROZEN_CELL_BITS}); the packed table would "
+                f"corrupt the connected bit — use the unpacked serving "
+                f"path for this geometry"
+            )
+    elif not isinstance(syn_cell, jax.core.Tracer):
+        max_id = int(jnp.max(syn_cell)) if syn_cell.size else -1
+        if max_id >= (1 << FROZEN_CELL_BITS):
+            raise ValueError(
+                f"pack_frozen_table: cell id {max_id} exceeds the "
+                f"{FROZEN_CELL_BITS}-bit field (max "
+                f"{(1 << FROZEN_CELL_BITS) - 1}); the packed table "
+                f"would corrupt the connected bit — use the unpacked "
+                f"serving path for this geometry"
+            )
     live = (syn_cell >= 0) & (syn_perm >= 0.0)
     conn = (syn_perm >= perm_threshold).astype(jnp.int32)
     return jnp.where(

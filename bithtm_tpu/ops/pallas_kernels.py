@@ -89,12 +89,29 @@ def _hash7(x, salt):
     return (x * salt >> 25) & 127
 
 
+_HASH_MAX_TRIES = 4096  # salt-search iteration bound (see hash_salt)
+
+
 def hash_salt(cols):
     """Find a salt under which the A active columns hash into 128
     buckets with at most `_HASH_CAP` entries per bucket spilling no more
     than `_HASH_OVF` entries total. Expected ~1.1 tries at A=41 (and
     the whole search is A x 128 compares per try — noise); returns the
-    i32 salt."""
+    i32 salt.
+
+    The search is bounded at `_HASH_MAX_TRIES` iterations so a
+    pathological active set can never hang the dispatch: measured
+    per-try failure probability is ~10% at A=41 (the binomial tail of
+    >4 third-or-later bucket entries at load 41/128), and successive
+    odd salts stepped by the golden-ratio constant behave as
+    independent draws for any fixed column set — multiplicative
+    hashing has no column structure that survives the whole orbit —
+    so P(no salt in 4096 tries) < 0.1^4096 for every A <= 47. If the
+    bound is ever hit anyway, the salt with the smallest overflow seen
+    is returned; `hash_tables` then truncates its overflow chain (a
+    correctness loss surfaced only in that astronomically unlikely
+    branch, never a hang). Worst-case bounded cost: 4096 * A * 128
+    compares, well under a millisecond."""
     cols = cols.astype(jnp.int32)
     b = jnp.arange(128, dtype=jnp.int32)
 
@@ -104,13 +121,26 @@ def hash_salt(cols):
                       dtype=jnp.int32)                       # (128,)
         return jnp.maximum(occ - _HASH_CAP, 0).sum(dtype=jnp.int32)
 
-    def cond(salt):
-        return overflow(salt) > _HASH_OVF
+    def cond(carry):
+        salt, tries, _, best_ovf = carry
+        return (overflow(salt) > _HASH_OVF) & (tries < _HASH_MAX_TRIES)
 
-    def body(salt):
-        return (salt + jnp.int32(_HASH_STEP)) | jnp.int32(1)
+    def body(carry):
+        salt, tries, best_salt, best_ovf = carry
+        ovf = overflow(salt)
+        better = ovf < best_ovf
+        best_salt = jnp.where(better, salt, best_salt)
+        best_ovf = jnp.where(better, ovf, best_ovf)
+        nxt = (salt + jnp.int32(_HASH_STEP)) | jnp.int32(1)
+        return nxt, tries + 1, best_salt, best_ovf
 
-    return jax.lax.while_loop(cond, body, jnp.int32(_HASH_SALT0) | 1)
+    salt0 = jnp.int32(_HASH_SALT0) | 1
+    salt, tries, best_salt, _ = jax.lax.while_loop(
+        cond, body, (salt0, jnp.int32(0), salt0, jnp.int32(2**30))
+    )
+    # the loop exits either on success (use `salt`) or at the try bound
+    # (fall back to the best salt seen)
+    return jnp.where(tries < _HASH_MAX_TRIES, salt, best_salt)
 
 
 def hash_tables(cols, bits):
