@@ -63,7 +63,7 @@ def main():
                         "(tm_pool_occupancy etc.) in every step; off by "
                         "default — the serving loop keeps the driver "
                         "observables and drop counters only")
-    p.add_argument("--allocation_policy", default="reference",
+    p.add_argument("--allocation_policy", default="evict",
                    choices=("reference", "evict"),
                    help="segment-pool allocation under pressure: "
                         "'reference' (recycle-or-drop, surfaced by "

@@ -117,6 +117,10 @@ class TMConfig:
     growth_capacity: int = 0        # L: segments growing per step
                                     # (0 = auto: min(A*G, max(64,
                                     # roundup(2A, 8))) — a sublane axis)
+    punish_capacity: int = 0        # P: columns punished per step
+                                    # (0 = auto: min(C, max(48,
+                                    # roundup(A, 8))); see
+                                    # resolved_punish_capacity)
 
     # Distal permanence dynamics (projections.py:205-219).
     permanence_initial: float = 0.21
@@ -134,16 +138,23 @@ class TMConfig:
     # column's G slots are all mature (live synapses >= matching
     # threshold, so not recyclable under the reference's `add_output`
     # rule, `projections.py:80`):
-    #   "reference" (default) — drop the allocation and count it
+    #   "evict" (default) — evict the weakest non-matching mature slot
+    #     (fewest live synapses, ties by ascending slot), the
+    #     static-shape analogue of the reference's unbounded growth
+    #     (`projections.py:79-95`, `utils.py:113-135`) for
+    #     continual-learning workloads. Counted in
+    #     `tm_evicted_segments`. Recyclable slots always outrank
+    #     evictable ones in the allocation order, so this is
+    #     bit-identical to "reference" until the step where "reference"
+    #     would drop an allocation (proven by the tier-key ordering in
+    #     `_allocate`; pinned by tests/test_pool_pressure.py and the
+    #     explicit-policy parity tests).
+    #   "reference" — drop the allocation instead and count it
     #     (`tm_dropped_new_segments`), mirroring recycle-or-grow minus
     #     the grow (static shapes cannot grow). A column saturated with
-    #     old contexts can then never host a new one.
-    #   "evict" — additionally evict the weakest non-matching mature
-    #     slot (fewest live synapses, ties by ascending slot), the
-    #     static-shape analogue of the reference's unbounded growth for
-    #     continual-learning workloads. Counted in
-    #     `tm_evicted_segments`. See tests/test_pool_pressure.py.
-    allocation_policy: str = "reference"
+    #     old contexts can then never host a new one — opt in only if
+    #     you need drop-not-evict semantics.
+    allocation_policy: str = "evict"
 
     epsilon: float = 1e-8
 
@@ -167,9 +178,10 @@ class TMConfig:
                 self.segment_sampling_synapses <= 0:
             raise ValueError("synapse_capacity and "
                              "segment_sampling_synapses must be positive")
-        if self.winner_capacity < 0 or self.growth_capacity < 0:
-            raise ValueError("winner_capacity/growth_capacity must be "
-                             ">= 0 (0 = auto)")
+        if self.winner_capacity < 0 or self.growth_capacity < 0 \
+                or self.punish_capacity < 0:
+            raise ValueError("winner_capacity/growth_capacity/"
+                             "punish_capacity must be >= 0 (0 = auto)")
         if self.synapse_capacity < self.segment_sampling_synapses:
             # legal in principle (growth clips to free slots) but almost
             # certainly a mistake: a fresh segment could never reach the
@@ -244,6 +256,28 @@ class TMConfig:
             return self.growth_capacity
         return min(self.active_columns * self.segments_per_column,
                    max(64, _round_up(2 * self.active_columns, 8)))
+
+    @property
+    def resolved_punish_capacity(self) -> int:
+        """Static width P of the per-step punished-column list.
+
+        Punishment (matching segments of non-active columns,
+        `projections.py:269,290-293` in the reference) runs as a
+        row-space pass over at most P columns instead of a fused
+        full-table decrement: the punished set is the step's
+        *misprediction* signal, bounded by the previously-predicted
+        column count (~A at steady prediction density) and measured far
+        smaller in practice (mean 3.7, p99 11, max 19 over a 2048-step
+        x 64-stream chip soak at A=41). The auto budget — A rounded up
+        to the 8-sublane granularity, floored at 48 — covers every
+        predicted column mispredicting simultaneously; overflow (only
+        plausible in multi-prediction regimes) drops the punishments of
+        the highest column ids, counted in `tm_dropped_punished_columns`
+        and mirrored by the parity oracle."""
+        if self.punish_capacity:
+            return self.punish_capacity
+        return min(self.column_dim,
+                   max(48, _round_up(self.active_columns, 8)))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -750,6 +750,9 @@ def tm_step(
             learn_metrics["tm_punished_segments"] = jnp.sum(
                 jax.lax.population_count(pun_word), dtype=jnp.int32
             )
+            learn_metrics["tm_punished_columns"] = jnp.sum(
+                (pun_word != 0).astype(jnp.int32), dtype=jnp.int32
+            )
         debug["punished_segments"] = (
             (pun_word[:, None] >> jnp.arange(G, dtype=jnp.int32)[None, :])
             & 1

@@ -98,7 +98,7 @@ def main():
                         "(the reference's --use_reference_implementation, "
                         "upgraded to a continuous differential check; "
                         "single stream, no --scan)")
-    p.add_argument("--allocation_policy", default="reference",
+    p.add_argument("--allocation_policy", default="evict",
                    choices=("reference", "evict"),
                    help="segment-pool overflow behavior (see README "
                         "'Pool capacity semantics')")

@@ -17,7 +17,7 @@ from bithtm_tpu.utils.metrics_log import capacity_health
 
 import argparse
 _p = argparse.ArgumentParser()
-_p.add_argument("--allocation_policy", default="reference",
+_p.add_argument("--allocation_policy", default="evict",
                 choices=("reference", "evict"))
 _p.add_argument("--column_dim", type=int, default=2048)
 _p.add_argument("--cell_dim", type=int, default=32)

@@ -99,14 +99,72 @@ def test_parity_tight_pool_recycling():
 
 
 def test_parity_evict_allocation_policy():
-    # allocation_policy="evict": mature non-matching slots become a
-    # third (weakest-first) eligibility tier; the oracle re-derives the
-    # same eviction choices. Tight pools force evictions constantly.
+    # allocation_policy="evict" (the default): mature non-matching slots
+    # become a third (weakest-first) eligibility tier; the oracle
+    # re-derives the same eviction choices. Tight pools force evictions
+    # constantly.
     cfg = make_cfg(segments_per_column=2, allocation_policy="evict")
     run_parity(cfg, steps=150, seed=12)
     cfg2 = make_cfg(allocation_policy="evict", synapse_capacity=8,
                     segment_sampling_synapses=4)
     run_parity(cfg2, steps=120, seed=13)
+
+
+def test_parity_reference_allocation_policy_under_pressure():
+    # The opt-in drop-mode policy stays parity-pinned: same tight-pool
+    # pressure configs as the evict test, explicit policy.
+    cfg = make_cfg(segments_per_column=2, allocation_policy="reference")
+    run_parity(cfg, steps=150, seed=12)
+
+
+def test_evict_equals_reference_until_first_drop():
+    """The default-flip contract (VERDICT r3 #5): `evict` is
+    bit-identical to `reference` up to and including the step where
+    `reference` first drops an allocation — recyclable slots always
+    outrank evictable ones in `_allocate`'s tier-key order, so the two
+    policies choose identical slots while recyclable supply suffices."""
+    import dataclasses
+
+    cfg_e = make_cfg(segments_per_column=2, allocation_policy="evict")
+    cfg_r = dataclasses.replace(cfg_e, allocation_policy="reference")
+    fns = {
+        name: jax.jit(
+            functools.partial(tm_step, c),
+            static_argnames=("learning", "compute_winner", "return_debug"),
+        )
+        for name, c in (("evict", cfg_e), ("reference", cfg_r))
+    }
+    states = {"evict": tm_init(cfg_e), "reference": tm_init(cfg_r)}
+    rng = np.random.RandomState(21)
+    key = jax.random.key(21)
+    saw_drop = False
+    for t in range(120):
+        cols = np.sort(
+            rng.choice(cfg_e.column_dim, size=cfg_e.active_columns,
+                       replace=False)
+        ).astype(np.int32)
+        key, sub = jax.random.split(key)
+        outs = {}
+        for name, fn in fns.items():
+            states[name], outs[name] = fn(
+                states[name], sub, jnp.asarray(cols), learning=True
+            )
+        dropped = int(outs["reference"].metrics["tm_dropped_new_segments"])
+        evicted = int(outs["evict"].metrics["tm_evicted_segments"])
+        he = jax.device_get(states["evict"])
+        hr = jax.device_get(states["reference"])
+        if dropped == 0:
+            # no pressure this step: full state pytrees bit-equal
+            assert evicted == 0
+            for fe, fr in zip(jax.tree.leaves(he), jax.tree.leaves(hr)):
+                np.testing.assert_array_equal(np.asarray(fe),
+                                              np.asarray(fr))
+        else:
+            # the divergence step: evict served what reference dropped
+            assert evicted == dropped
+            saw_drop = True
+            break
+    assert saw_drop, "workload never pressured the pool; test is vacuous"
 
 
 def test_parity_mixed_inference():
