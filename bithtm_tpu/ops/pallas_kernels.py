@@ -30,13 +30,14 @@ BISECT_MIN_ACTIVE = 64  # measured crossover: the 7-gather bisection
 _BISECT_SENTINEL = 2**30
 
 HASH_MAX_ACTIVE = 48  # below this, the salted-hash matcher (ONE
-# multiplicative hash + 2 bucket probes + a 4-wide overflow chain)
-# replaces the A-compare chain: ~2*(1+W) lane-gathers per element
-# instead of A compare/selects. The salt search keeps expected bucket
-# load tiny for A well under 128; past ~48 the overflow condition
-# starts costing retries, and by A=64 bisection wins anyway.
+# multiplicative hash + 2 bucket probes) replaces the A-compare chain:
+# ~2*(1+W) lane-gathers per element instead of A compare/selects. The
+# salt search guarantees every bucket holds <= CAP entries (zero
+# spill — the 4-wide overflow compare chain this replaced cost ~12
+# VPU ops per element for entries that almost never existed); past
+# ~48 the zero-spill condition starts costing retries, and by A=64
+# bisection wins anyway.
 _HASH_CAP = 2      # table slots per bucket
-_HASH_OVF = 4      # overflow-chain length (entries beyond CAP anywhere)
 _HASH_SALT0 = 0x9E3779B9 - 2**32  # golden-ratio seed (as i32);
 _HASH_STEP = 0x61C88647           # stepped by an odd constant
 
@@ -89,73 +90,90 @@ def _hash7(x, salt):
     return (x * salt >> 25) & 127
 
 
-_HASH_MAX_TRIES = 4096  # salt-search iteration bound (see hash_salt)
+_HASH_MAX_TRIES = 4096   # salt-search batch-iteration bound (hash_salt)
+_HASH_SALT_BATCH = 16    # candidate salts evaluated per iteration
 
 
 def hash_salt(cols):
     """Find a salt under which the A active columns hash into 128
-    buckets with at most `_HASH_CAP` entries per bucket spilling no more
-    than `_HASH_OVF` entries total. Expected ~1.1 tries at A=41 (and
+    buckets with at most `_HASH_CAP` entries per bucket — ZERO spill,
+    so the in-kernel matcher needs no overflow chain at all. Expected
+    ~2 tries at A=41 / ~2.7 at A=47 (per-try success is
+    exp(-C(A,3)/128^2), the Poisson estimate of no bucket reaching 3;
     the whole search is A x 128 compares per try — noise); returns the
     i32 salt.
 
-    The search is bounded at `_HASH_MAX_TRIES` iterations so a
-    pathological active set can never hang the dispatch: measured
-    per-try failure probability is ~10% at A=41 (the binomial tail of
-    >4 third-or-later bucket entries at load 41/128), and successive
+    The search evaluates `_HASH_SALT_BATCH` candidate salts per
+    while-loop iteration in ONE vectorized pass and takes the first
+    zero-spill one. This matters under vmap: a batched while_loop runs
+    until EVERY stream's condition clears, i.e. the max iteration count
+    over the batch — with per-salt success ~0.4-0.5 at A<=47, a
+    one-salt-per-iteration loop runs ~9 masked iterations at B=256
+    (measured as a serving regression), while a 16-salt batch clears
+    all streams in 1 iteration with probability ~1 - B * 0.6^16.
+
+    The search is bounded at `_HASH_MAX_TRIES` batches so a
+    pathological active set can never hang the dispatch: successive
     odd salts stepped by the golden-ratio constant behave as
     independent draws for any fixed column set — multiplicative
     hashing has no column structure that survives the whole orbit —
-    so P(no salt in 4096 tries) < 0.1^4096 for every A <= 47. If the
-    bound is ever hit anyway, the salt with the smallest overflow seen
-    is returned; `hash_tables` then truncates its overflow chain (a
-    correctness loss surfaced only in that astronomically unlikely
-    branch, never a hang). Worst-case bounded cost: 4096 * A * 128
-    compares, well under a millisecond."""
+    so P(no zero-spill salt in 4096*16 tries) is astronomically small
+    for every A <= 47. If the bound is ever hit anyway, the salt with
+    the smallest overflow seen is returned; `hash_tables` then drops
+    the spilled entries (a correctness loss surfaced only in that
+    astronomically unlikely branch, never a hang)."""
     cols = cols.astype(jnp.int32)
     b = jnp.arange(128, dtype=jnp.int32)
+    n = jnp.arange(_HASH_SALT_BATCH, dtype=jnp.int32)
+    big = jnp.int32(2**30)
 
-    def overflow(salt):
-        h = _hash7(cols, salt)
-        occ = jnp.sum(h[None, :] == b[:, None], axis=-1,
-                      dtype=jnp.int32)                       # (128,)
-        return jnp.maximum(occ - _HASH_CAP, 0).sum(dtype=jnp.int32)
+    def batch_best(salt0):
+        """(first zero-spill salt in the batch or salt of min overflow,
+        its overflow) — one vectorized pass over the candidate batch."""
+        salts = (salt0 + n * jnp.int32(_HASH_STEP)) | jnp.int32(1)
+        h = _hash7(cols[None, :], salts[:, None])        # (N, A)
+        occ = jnp.sum(h[:, None, :] == b[None, :, None], axis=-1,
+                      dtype=jnp.int32)                   # (N, 128)
+        ovf = jnp.maximum(occ - _HASH_CAP, 0).sum(
+            axis=-1, dtype=jnp.int32)                    # (N,)
+        # first index with zero overflow, else the argmin of overflow;
+        # bias the key by index so ties pick the earliest salt
+        key = ovf * jnp.int32(_HASH_SALT_BATCH) + n
+        idx = jnp.argmin(key)
+        return salts[idx], ovf[idx]
 
     def cond(carry):
-        salt, tries, _, best_ovf = carry
-        return (overflow(salt) > _HASH_OVF) & (tries < _HASH_MAX_TRIES)
+        _, tries, _, best_ovf = carry
+        return (best_ovf > 0) & (tries < _HASH_MAX_TRIES)
 
     def body(carry):
-        salt, tries, best_salt, best_ovf = carry
-        ovf = overflow(salt)
-        better = ovf < best_ovf
-        best_salt = jnp.where(better, salt, best_salt)
-        best_ovf = jnp.where(better, ovf, best_ovf)
-        nxt = (salt + jnp.int32(_HASH_STEP)) | jnp.int32(1)
+        salt0, tries, best_salt, best_ovf = carry
+        s, o = batch_best(salt0)
+        better = o < best_ovf
+        best_salt = jnp.where(better, s, best_salt)
+        best_ovf = jnp.where(better, o, best_ovf)
+        nxt = salt0 + jnp.int32(_HASH_SALT_BATCH) * jnp.int32(_HASH_STEP)
         return nxt, tries + 1, best_salt, best_ovf
 
     salt0 = jnp.int32(_HASH_SALT0) | 1
-    salt, tries, best_salt, _ = jax.lax.while_loop(
-        cond, body, (salt0, jnp.int32(0), salt0, jnp.int32(2**30))
+    _, _, best_salt, _ = jax.lax.while_loop(
+        cond, body, (salt0, jnp.int32(0), salt0, big)
     )
-    # the loop exits either on success (use `salt`) or at the try bound
-    # (fall back to the best salt seen)
-    return jnp.where(tries < _HASH_MAX_TRIES, salt, best_salt)
+    return best_salt
 
 
 def hash_tables(cols, bits):
     """Lay the active set out for the in-kernel salted-hash matcher.
 
-    Returns (tab (R8, 128) i32, ovf_cols (1, OVF) i32,
-    ovf_bits (OVF, W) u32, salt (1, 1) i32):
+    Returns (tab (R8, 128) i32, salt (1, 1) i32):
 
       tab row s*(1+W)     lane b = column id of slot s of bucket b
       tab row s*(1+W)+1+w lane b = bitmask word w of that entry
 
     for s in [0, CAP). Entries are assigned to slots in ascending
-    active-list order; entries past CAP in their bucket go to the
-    overflow chain (the salt search guarantees they fit). Empty lanes
-    hold a sentinel no real column reaches."""
+    active-list order; the salt search guarantees zero spill (every
+    bucket holds <= CAP entries), so there is no overflow chain. Empty
+    lanes hold a sentinel no real column reaches."""
     A, W = bits.shape
     cols = cols.astype(jnp.int32)
     salt = hash_salt(cols)
@@ -183,36 +201,19 @@ def hash_tables(cols, bits):
     if rpad:
         tab = jnp.concatenate(
             [tab, jnp.zeros((rpad, 128), jnp.int32)], axis=0)
-    ovf = rank >= _HASH_CAP
-    ovf_cols, ovf_valid = _compact_first(ovf, cols, _HASH_OVF)
-    ovf_cols = jnp.where(ovf_valid, ovf_cols, _BISECT_SENTINEL)
-    ovf_bits = jnp.stack([
-        _compact_first(ovf, bits[:, w].astype(jnp.uint32), _HASH_OVF)[0]
-        for w in range(W)
-    ], axis=-1)                                              # (OVF, W)
-    return (tab, ovf_cols.reshape(1, _HASH_OVF), ovf_bits,
-            salt.reshape(1, 1))
+    return tab, salt.reshape(1, 1)
 
 
-def _compact_first(valid, values, k):
-    """First-k compaction (ascending index), sentinel-free core of
-    `active_set.compact_first_k` (duplicated to avoid a circular
-    import of a 6-line helper)."""
-    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    rank = jnp.where(valid, rank, -1)
-    sel = rank[None, :] == jnp.arange(k, dtype=jnp.int32)[:, None]
-    out = jnp.sum(sel * values[None, :], axis=1, dtype=values.dtype)
-    return out, jnp.arange(k, dtype=jnp.int32) < valid.sum(dtype=jnp.int32)
-
-
-def _match_bits_hash(tab_ref, ocols_ref, obits_ref, salt_ref, col, lo,
+def _match_bits_hash(tab_ref, salt_ref, col, lo,
                      *, words: int, block: int):
     """Salted-hash form of `_match_bits`: one multiplicative hash picks
-    the element's bucket, `_HASH_CAP` probes compare the bucket's
+    the element's bucket and `_HASH_CAP` probes compare the bucket's
     entries (tpu.dynamic_gather lane lookups, the `_match_bits_bisect`
-    idiom), and the few bucket-overflow entries ride a `_HASH_OVF`-wide
-    compare chain. Per element: CAP*(1+W) gathers + ~15 ops,
-    independent of A — vs A compare/selects for the chain."""
+    idiom). The salt search guarantees zero bucket spill, so there is
+    no overflow chain (the 4-wide chain this replaced cost ~12 VPU ops
+    per element to compare against entries that almost never existed).
+    Per element: CAP*(1+W) gathers + ~10 ops, independent of A — vs A
+    compare/selects for the chain."""
     rows = tab_ref[:]
     salt = salt_ref[0, 0]
     J = col.shape[1]
@@ -243,11 +244,7 @@ def _match_bits_hash(tab_ref, ocols_ref, obits_ref, salt_ref, col, lo,
         chunks.append(matched)
     out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks,
                                                              axis=1)
-    out = out.astype(jnp.uint32)
-    # overflow entries: the plain compare chain over the OVF SMEM slots
-    out = out | _match_bits(ocols_ref, obits_ref, col, lo, _HASH_OVF,
-                            words)
-    return out
+    return out.astype(jnp.uint32)
 
 
 def _match_bits_bisect(tab_ref, col, lo, *, L: int, words: int,
@@ -325,13 +322,13 @@ def _match_bits(cols_ref, bits_ref, col, lo, num_active: int, words: int):
 
 def _matched_any(match_refs, col, lo, *, num_active: int, words: int,
                  bisect_L: int, hash_match: bool, block: int):
-    """Dispatch to the salted-hash matcher (match_refs = (tab, ovf_cols,
-    ovf_bits, salt), small A), the bisection gather (match_refs =
-    (tab,), wins past A ~ 64), or the A-compare chain (match_refs =
-    (cols, bits), the lane-unfriendly fallback)."""
+    """Dispatch to the salted-hash matcher (match_refs = (tab, salt),
+    small A), the bisection gather (match_refs = (tab,), wins past
+    A ~ 64), or the A-compare chain (match_refs = (cols, bits), the
+    lane-unfriendly fallback)."""
     if hash_match:
-        tab_ref, ocols_ref, obits_ref, salt_ref = match_refs
-        return _match_bits_hash(tab_ref, ocols_ref, obits_ref, salt_ref,
+        tab_ref, salt_ref = match_refs
+        return _match_bits_hash(tab_ref, salt_ref,
                                 col, lo, words=words, block=block)
     if bisect_L:
         (tab_ref,) = match_refs
@@ -459,14 +456,12 @@ def _matcher_inputs(cols, bits, J: int):
     A, W = bits.shape
     still = lambda i: (0, 0)
     if A < HASH_MAX_ACTIVE and J % 128 == 0:
-        tab, ovf_cols, ovf_bits, salt = hash_tables(cols, bits)
+        tab, salt = hash_tables(cols, bits)
         specs = [
             pl.BlockSpec(tab.shape, still, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _HASH_OVF), still, memory_space=pltpu.SMEM),
-            pl.BlockSpec((_HASH_OVF, W), still, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), still, memory_space=pltpu.SMEM),
         ]
-        return 0, True, [tab, ovf_cols, ovf_bits, salt], specs
+        return 0, True, [tab, salt], specs
     if A >= BISECT_MIN_ACTIVE and J % 128 == 0:
         tab, L = bisect_tables(cols, bits)
         R = tab.shape[0]

@@ -284,10 +284,10 @@ def test_hash_matcher_matches_xla():
         ) != 0
         np.testing.assert_array_equal(got, ref)
 
-    # force bucket overflow: craft _HASH_CAP + 2 columns that collide
-    # into one bucket under the FIRST candidate salt (which the search
-    # then accepts, since 2 <= _HASH_OVF spill), so the overflow chain
-    # is genuinely exercised
+    # craft _HASH_CAP + 2 columns that collide into one bucket under
+    # the FIRST candidate salt: the zero-spill search must REJECT that
+    # salt and advance to one where every bucket holds <= CAP entries
+    # (there is no overflow chain in the kernel to absorb spills)
     from bithtm_tpu.ops.pallas_kernels import _HASH_SALT0
 
     C, D, J, A = 4096, 32, 256, 40
@@ -303,9 +303,9 @@ def test_hash_matcher_matches_xla():
     cols = np.concatenate([over, rest]).astype(np.int32)
     assert len(cols) == A
     salt = np.int32(hash_salt(jnp.asarray(cols)))
-    assert salt == salt0, "crafted set must accept the first salt"
+    assert salt != salt0, "zero-spill search must reject the crafted salt"
     h = np.asarray(_hash7(jnp.asarray(cols), jnp.int32(salt)))
-    assert np.max(np.bincount(h, minlength=128)) > _HASH_CAP
+    assert np.max(np.bincount(h, minlength=128)) <= _HASH_CAP
     rows = rng.rand(len(cols), D) < 0.5
     bits = pack_bits(jnp.asarray(rows))
     syn = rng.randint(-1, C * D, size=(C, J)).astype(np.int32)
