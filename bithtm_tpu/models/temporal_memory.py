@@ -64,6 +64,7 @@ from ..ops.active_set import (
     synapse_activation_conn,
     synapse_activation_frozen,
     take_small_table,
+    table_update,
     take_percell,
     unpack_bits,
 )
@@ -717,78 +718,43 @@ def tm_step(
                 winner_rows, cell_max_j, seg_j,
             )
         # punishment: matching segments of non-active columns
-        # (projections.py:269,290-293), applied in ROW space over the
-        # (at most resolved_punish_capacity) punished columns instead of
-        # a fused full-table decrement. The punished set is the step's
-        # misprediction signal — mean 3.7 / p99 11 columns at A=41
-        # (chip-soaked) — so decrementing P gathered rows is ~100x less
-        # traffic than a full-table perm write, and the forward pass
-        # below becomes the same read-only `synapse_activation_conn`
-        # kernel serving uses (10 B/elem instead of the fused
-        # punish+activate kernel's 16; measured +1.9k steps/s at B=256).
-        # Overflow past P drops the punishments of the highest column
-        # ids, counted in tm_dropped_punished_columns and mirrored by
-        # the parity oracle (`oracle/bami.py`).
+        # (projections.py:269,290-293), fused with the forward
+        # activation pass into one full-table kernel (disjoint from the
+        # active-column rows _learn just wrote).
         # (C,) i32 bitmask word, bit g = punished[c, g]: the previous
         # step's matching flags arrive already packed in the carried
         # matching_word; masking out active columns (and step 0) is a
-        # (C,)-wide select.
+        # (C,)-wide select. The kernel (or XLA fallback) extracts the
+        # per-lane bit, replacing a table-sized seg_broadcast
+        # materialization.
         pun_word = jnp.where(
             col_active | (state.step <= 0),
             0,
             state.matching_word,
         )
-        P = cfg.resolved_punish_capacity
-        pun_mask = pun_word != 0
-        n_pun_cols = pun_mask.sum(dtype=jnp.int32)
-        pun_cols_c, pun_valid = compact_first_k(
-            pun_mask, jnp.arange(C, dtype=jnp.int32), P
+        # the fused full-table pass: punish + implicit death +
+        # activation + per-segment counts + prediction
+        # (networks.py:121-122, projections.py:245-255,269,290-293).
+        # The syn table is read-only in it (dead = perm < 0); syn_mid
+        # already carries the learning phase's row writes.
+        (perm_full, act_now, potential, connected, matching, seg_active,
+         prediction) = table_update(
+            syn_mid, perm_mid, state.synapse_act, pun_word,
+            active_cols, act_bits, seg_cell, D,
+            cfg.permanence_punishment, cfg.permanence_threshold,
+            cfg.segment_matching_threshold,
+            cfg.segment_activation_threshold,
         )
-        pun_cols = jnp.where(pun_valid, pun_cols_c, C)   # sentinel: drop
-        # gather the punished rows (disjoint from the active columns
-        # _learn just wrote — pun_word masks col_active out), decrement
-        # the slots that were active in the previous step, scatter back
-        perm_p = jnp.take(perm_mid, pun_cols, axis=0, mode="clip")
-        act_p = jnp.take(state.synapse_act, pun_cols, axis=0,
-                         mode="clip") != 0                # (P, J)
-        pw = jnp.take(pun_word, pun_cols, axis=0, mode="clip")
-        g_lane = jnp.arange(J, dtype=jnp.int32) // K
-        pen = (((pw[:, None] >> g_lane[None, :]) & 1) == 1) & act_p
-        perm_p = perm_p - jnp.where(
-            pen, jnp.float32(cfg.permanence_punishment), jnp.float32(0.0)
-        )
-        perm_full = perm_mid.at[pun_cols].set(perm_p, mode="drop")
         syn_full = syn_mid
-        # the forward pass over the (now read-only) tables: activation +
-        # connected in one packed mask, counts + prediction outside
-        # (networks.py:121-122, projections.py:245-255). Implicit death:
-        # perm < 0 masks the activation, stale ids never match.
-        act_now = synapse_activation_conn(
-            syn_full, perm_full, active_cols, act_bits, D,
-            cfg.permanence_threshold, K,
-        )
-        potential, connected = seg_counts_packed(act_now, G, K)
-        matching = potential >= cfg.segment_matching_threshold
-        seg_active = matching & (
-            connected >= cfg.segment_activation_threshold
-        )
-        prediction = prediction_words(seg_cell, seg_active, D)
-        learn_metrics["tm_dropped_punished_columns"] = (
-            n_pun_cols - pun_valid.sum(dtype=jnp.int32)
-        )
         if detailed_metrics:
             learn_metrics["tm_punished_segments"] = jnp.sum(
                 jax.lax.population_count(pun_word), dtype=jnp.int32
             )
-            learn_metrics["tm_punished_columns"] = n_pun_cols
-        # debug reflects the APPLIED punishments (post-cap)
-        kept = jnp.zeros((C,), jnp.bool_).at[pun_cols].set(
-            pun_valid, mode="drop"
-        )
-        pun_word_kept = jnp.where(kept, pun_word, 0)
+            learn_metrics["tm_punished_columns"] = jnp.sum(
+                (pun_word != 0).astype(jnp.int32), dtype=jnp.int32
+            )
         debug["punished_segments"] = (
-            (pun_word_kept[:, None]
-             >> jnp.arange(G, dtype=jnp.int32)[None, :])
+            (pun_word[:, None] >> jnp.arange(G, dtype=jnp.int32)[None, :])
             & 1
         ) != 0
     else:

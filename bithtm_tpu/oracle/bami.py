@@ -256,18 +256,11 @@ class OracleTM:
                 raise ParityError(f"cell {cell} skipped its best-matching")
 
         # punished segments (semantics 8): matching segments owned by
-        # cells of non-active columns. The JAX step applies punishment
-        # as a row-space pass over at most resolved_punish_capacity
-        # columns (ascending column id; overflow dropped + counted in
-        # tm_dropped_punished_columns) — mirror the cap here.
+        # cells of non-active columns.
         punished = set()
         for s in self.matching:
             if self.owner[s] // self.D not in active_columns:
                 punished.add(s)
-        P = getattr(cfg, "resolved_punish_capacity", None)
-        if P is not None:
-            kept_cols = set(sorted({s // self.G for s in punished})[:P])
-            punished = {s for s in punished if s // self.G in kept_cols}
 
         # new segments (semantics 9): winner cells without matching
         # segments. The pool is per-column (slot s hosts only cells of

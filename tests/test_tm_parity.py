@@ -42,8 +42,7 @@ def make_cfg(k_active=5, **kw):
     return TMConfig(**base)
 
 
-def run_parity(cfg, steps, seed, learn_schedule=None, cols_fn=None,
-               on_step=None):
+def run_parity(cfg, steps, seed, learn_schedule=None, cols_fn=None):
     step_fn = jax.jit(
         functools.partial(tm_step, cfg),
         static_argnames=("learning", "compute_winner", "return_debug"),
@@ -80,8 +79,6 @@ def run_parity(cfg, steps, seed, learn_schedule=None, cols_fn=None,
         oracle.step(cols, decisions, learning=learning)
         host = jax.device_get(state)
         oracle.compare(host)
-        if on_step is not None:
-            on_step(t, out)
     return state, oracle
 
 
@@ -492,43 +489,3 @@ def test_parity_wide_active_set_no_truncation():
     # received synapses
     assert max(grown_cols) > cfg.column_dim // 2, sorted(grown_cols)[-5:]
     assert len(grown_cols) > cfg.active_columns
-
-
-def test_parity_punish_capacity_truncation():
-    """Punishment is a row-space pass over at most
-    resolved_punish_capacity columns (ascending column id; overflow
-    dropped + counted in tm_dropped_punished_columns). Force the cap
-    with punish_capacity=8 and a two-pattern cycle whose A=12 columns
-    all become matching, then assert the oracle (which mirrors the
-    truncation rule) stays bit-exact THROUGH truncating steps — and
-    that truncation genuinely fired."""
-    cfg = make_cfg(
-        k_active=12, column_dim=64, punish_capacity=8,
-        segments_per_column=4,
-    )
-    pat = [
-        np.sort(np.random.RandomState(300 + i).choice(
-            cfg.column_dim, size=cfg.active_columns, replace=False
-        )).astype(np.int32)
-        for i in range(2)
-    ]
-    rng_noise = np.random.RandomState(301)
-
-    def cols_fn(t, rng):
-        # cycle two patterns so predictions (hence matching segments)
-        # form on both; every ~5th step inject a random set so the
-        # matching columns of the expected pattern get punished
-        if t % 5 == 4 and t > 10:
-            return np.sort(rng_noise.choice(
-                cfg.column_dim, size=cfg.active_columns, replace=False
-            )).astype(np.int32)
-        return pat[t % 2]
-
-    dropped = []
-
-    def on_step(t, out):
-        dropped.append(int(np.asarray(
-            out.metrics["tm_dropped_punished_columns"])))
-
-    run_parity(cfg, steps=60, seed=31, cols_fn=cols_fn, on_step=on_step)
-    assert sum(dropped) > 0, "workload never exceeded the punish cap"
