@@ -259,21 +259,19 @@ class TMConfig:
 
     @property
     def resolved_punish_capacity(self) -> int:
-        """Static width P of the per-step punished-column list.
+        """Static width P of a per-step punished-column list — reserved.
 
-        Punishment (matching segments of non-active columns,
-        `projections.py:269,290-293` in the reference) runs as a
-        row-space pass over at most P columns instead of a fused
-        full-table decrement: the punished set is the step's
-        *misprediction* signal, bounded by the previously-predicted
-        column count (~A at steady prediction density) and measured far
-        smaller in practice (mean 3.7, p99 11, max 19 over a 2048-step
-        x 64-stream chip soak at A=41). The auto budget — A rounded up
-        to the 8-sublane granularity, floored at 48 — covers every
-        predicted column mispredicting simultaneously; overflow (only
-        plausible in multi-prediction regimes) drops the punishments of
-        the highest column ids, counted in `tm_dropped_punished_columns`
-        and mirrored by the parity oracle."""
+        A row-space punishment pass over at most P gathered rows (the
+        punished set is the step's misprediction signal: mean 3.7 /
+        p99 11 / max 19 columns over a 2048-step x 64-stream chip soak
+        at A=41) was built and measured in round 4 and REJECTED: the
+        P=48-row scatter alone cost 1.15 ms/step at B=256 — more than
+        the 1.05 ms the fused table kernel saved by going read-only —
+        because XLA row scatters pay ~80-95 ns/row regardless of
+        content (docs/PERFORMANCE.md "Tried and rejected"). Punishment
+        stays fused in the full-table kernel (unbounded — no column is
+        ever dropped); this capacity is kept for hardware where the
+        scatter/bandwidth balance differs."""
         if self.punish_capacity:
             return self.punish_capacity
         return min(self.column_dim,

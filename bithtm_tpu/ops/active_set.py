@@ -34,31 +34,52 @@ def cell_words(cell_dim: int) -> int:
 def act_scale(synapses: int) -> int:
     """Scale of the packed activity encoding: the forward passes emit
     ONE value per synapse slot, v = act + scale*conn (conn implies act,
-    so v in {0, 1, 1+scale}), with scale = the smallest power of two
-    > synapses so the per-segment count dot r = potential +
-    scale*connected decodes exactly (both counts <= synapses < scale).
-    Emitting one packed mask instead of separate act/conn masks saves a
-    full table-sized HBM write in the kernel plus one count-dot operand
-    pass (~0.6 ms/step at B=256 defaults)."""
-    return 1 << synapses.bit_length()
+    so v in {0, 1, 1+scale}), with scale > synapses so the per-segment
+    count sum r = potential + scale*connected decodes exactly (both
+    counts <= synapses < scale). Emitting one packed mask instead of
+    separate act/conn masks saves a full table-sized HBM write in the
+    kernel plus one count-dot operand pass (~0.6 ms/step at B=256
+    defaults).
+
+    The scale is the smallest power of two > synapses — EXCEPT when
+    that would push 1+scale past the int8 range while synapses+1 keeps
+    it inside: then scale = synapses+1, so the packed table stays u8
+    (see `act_dtype`; the non-power-of-two decode is one constant
+    integer division, strength-reduced by XLA). K=64 — the fast-stack
+    width — is exactly this case: pow2 scale 128 gives v=129 > 127,
+    scale 65 gives v=66."""
+    s = 1 << synapses.bit_length()
+    if s + 1 > 127 and synapses <= 125:
+        return synapses + 1
+    return s
 
 
 def act_dtype(synapses: int):
-    """Dtype of the packed activity mask: bf16 (the count dots' MXU
-    operand dtype) whenever 1+scale is bf16-exact (7 mantissa bits ->
-    scale <= 128, i.e. synapses <= 127); f32 above (v and the dot stay
-    exact to 2^24)."""
-    return jnp.bfloat16 if act_scale(synapses) <= 128 else jnp.float32
+    """Dtype of the packed activity mask: uint8 whenever v = 1+scale
+    fits int8 (<= 127 — the count dot then runs as an exact s8 x s8 ->
+    s32 MXU dot and the table costs 1 B/elem of kernel write + count
+    read instead of bf16's 2); bf16 when 1+scale is bf16-exact
+    (scale <= 128); f32 above (v and the dot stay exact to 2^24)."""
+    scale = act_scale(synapses)
+    if 1 + scale <= 127:
+        return jnp.uint8
+    return jnp.bfloat16 if scale <= 128 else jnp.float32
 
 
 def pack_act_conn(act: jnp.ndarray, conn: jnp.ndarray,
                   synapses: int) -> jnp.ndarray:
     """(bool act, bool conn) -> packed activity value (see act_scale)."""
     scale = act_scale(synapses)
+    dtype = act_dtype(synapses)
+    if dtype == jnp.uint8:
+        one = jnp.int32(1)
+        return jnp.where(
+            act, jnp.where(conn, one + scale, one), jnp.int32(0)
+        ).astype(jnp.uint8)
     one = jnp.float32(1.0)
     return jnp.where(
         act, jnp.where(conn, one + scale, one), jnp.float32(0.0)
-    ).astype(act_dtype(synapses))
+    ).astype(dtype)
 
 
 def pack_bits(mask: jnp.ndarray) -> jnp.ndarray:
@@ -576,6 +597,19 @@ def seg_counts_packed(packed: jnp.ndarray, num_segments: int,
     same padded-traffic reason as `seg_reduce_counts`."""
     scale = act_scale(synapses)
     m = _seg_matrix(num_segments, synapses)
+    out_dtype = jnp.bfloat16 if synapses <= 256 else jnp.float32
+    if packed.dtype == jnp.uint8:
+        # v <= 1+scale <= 127 by act_dtype's contract: exact s8 MXU dot
+        # + integer decode (the constant division strength-reduces; the
+        # scale may be non-power-of-two here, see act_scale)
+        r = jax.lax.dot_general(
+            packed.astype(jnp.int8), m,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        connected = r // scale
+        potential = r - scale * connected
+        return potential.astype(out_dtype), connected.astype(out_dtype)
     r = jax.lax.dot_general(
         packed, m.astype(packed.dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -583,7 +617,6 @@ def seg_counts_packed(packed: jnp.ndarray, num_segments: int,
     )
     connected = jnp.floor(r * (1.0 / scale))
     potential = r - scale * connected
-    out_dtype = jnp.bfloat16 if synapses <= 256 else jnp.float32
     return potential.astype(out_dtype), connected.astype(out_dtype)
 
 
@@ -591,12 +624,17 @@ def seg_counts_packed_rows(act_rows: jnp.ndarray,
                            synapses: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(..., K) packed activity rows -> (potential, connected) int32
     counts, the gathered-row sibling of `seg_counts_packed`: same exact
-    decode, but via a plain f32-accumulated sum over the slot axis (the
+    decode, but via a plain accumulated sum over the slot axis (the
     active-column rows are far too small for the MXU dot to pay). ONE
-    bf16-operand reduce replaces the two pred-tensor reduce+converts it
-    supersedes, and the connected count comes off the packed conn bit
-    the forward kernel already computed — no permanence re-compare."""
+    packed-operand reduce replaces the two pred-tensor reduce+converts
+    it supersedes, and the connected count comes off the packed conn
+    bit the forward kernel already computed — no permanence
+    re-compare."""
     scale = act_scale(synapses)
+    if act_rows.dtype == jnp.uint8:
+        r = jnp.sum(act_rows.astype(jnp.int32), axis=-1)
+        connected = r // scale
+        return (r - scale * connected), connected
     r = jnp.sum(act_rows.astype(jnp.float32), axis=-1)
     connected = jnp.floor(r * (1.0 / scale))
     potential = r - scale * connected

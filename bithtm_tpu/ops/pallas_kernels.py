@@ -354,7 +354,16 @@ def _act_kernel(*refs, cell_dim: int, num_active: int, words: int,
 
 def _pack_v(act, perm, perm_threshold: float, scale: int, dtype):
     """Packed activity value v = act + scale*conn (`active_set.act_scale`);
-    built as f32 selects then converted to the count dot's operand dtype."""
+    built as f32 (or, on the u8 path, i32 — Mosaic legalizes widened
+    integer arithmetic + narrow store, the SP-kernel pattern) selects
+    then converted to the count dot's operand dtype."""
+    if dtype == jnp.uint8:
+        one = jnp.int32(1)
+        return jnp.where(
+            act,
+            jnp.where(perm >= perm_threshold, one + scale, one),
+            jnp.int32(0),
+        ).astype(jnp.uint8)
     one = jnp.float32(1.0)
     return jnp.where(
         act,
@@ -425,13 +434,16 @@ def _table_kernel(*refs, cell_dim: int, num_active: int, words: int,
     # i1-relayout bug — the punishment mask therefore rides as an
     # integer bit word. The word is carried as u8 when G <= 8 (an s32
     # (C, 1) operand lane-pads to 128 and relayout-copies ~0.4 ms/step
-    # at B=256; u8 pads 4x less).
+    # at B=256; u8 pads 4x less). The u8 act_prev compare runs widened
+    # to i32 (Mosaic legalizes widened integer arithmetic, the
+    # SP-kernel pattern; values are 0/1/1+scale so the convert is
+    # exact on the bf16 path too).
     # No explicit live mask: free slots have act_prev == 0 (never
     # punished) and dead/free slots sit at perm < 0, which the
     # activation mask excludes.
     g_lane = jax.lax.broadcasted_iota(jnp.int32, syn.shape, 1) // synapses
     pen_bit = (pun_ref[:].astype(jnp.int32) >> g_lane) & 1
-    pen = (pen_bit == 1) & (actprev_ref[:] != 0)
+    pen = (pen_bit == 1) & (actprev_ref[:].astype(jnp.int32) != 0)
     perm = perm - jnp.where(pen, jnp.float32(punishment), jnp.float32(0.0))
 
     col = syn // cell_dim
@@ -745,10 +757,16 @@ def _act_frozen_kernel(*refs, cell_dim: int, num_active: int,
                            words=words, bisect_L=bisect_L,
                            hash_match=hash_match, block=block)
     act = (((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)) & live
-    one = jnp.float32(1.0)
-    v_ref[:] = jnp.where(
-        act, jnp.where(conn, one + scale, one), jnp.float32(0.0)
-    ).astype(v_dtype)
+    if v_dtype == jnp.uint8:
+        onei = jnp.int32(1)
+        v_ref[:] = jnp.where(
+            act, jnp.where(conn, onei + scale, onei), jnp.int32(0)
+        ).astype(jnp.uint8)
+    else:
+        one = jnp.float32(1.0)
+        v_ref[:] = jnp.where(
+            act, jnp.where(conn, one + scale, one), jnp.float32(0.0)
+        ).astype(v_dtype)
 
 
 def synapse_activation_frozen_tpu(

@@ -134,9 +134,10 @@ def test_seg_reduce_counts_dtypes():
 def test_packed_activity_counts_exact():
     """The packed activity encoding (v = act + scale*conn,
     `act_scale`) must decode to exact per-segment (potential, connected)
-    counts via `seg_counts_packed`, across the dtype boundary: bf16 for
-    K <= 127 (scale <= 128), f32 above. Worst case exercised: every
-    slot active AND connected (counts == K, r == K*(1+scale))."""
+    counts via `seg_counts_packed`, across the dtype boundaries: u8
+    while 1+scale fits int8 (K <= 125 — incl. K=64's non-power-of-two
+    scale 65), bf16 for K <= 127, f32 above. Worst case exercised:
+    every slot active AND connected (counts == K, r == K*(1+scale))."""
     from bithtm_tpu.ops.active_set import (
         act_dtype,
         act_scale,
@@ -145,10 +146,16 @@ def test_packed_activity_counts_exact():
     )
 
     rng = np.random.RandomState(7)
-    for K, want_dtype in ((48, jnp.bfloat16), (64, jnp.bfloat16),
-                          (127, jnp.bfloat16), (128, jnp.float32)):
+    for K, want_dtype in ((48, jnp.uint8), (64, jnp.uint8),
+                          (125, jnp.uint8),
+                          (126, jnp.bfloat16), (127, jnp.bfloat16),
+                          (128, jnp.float32)):
         scale = act_scale(K)
-        assert scale > K and (scale & (scale - 1)) == 0
+        assert scale > K
+        if want_dtype == jnp.uint8:
+            assert 1 + scale <= 127
+        else:
+            assert (scale & (scale - 1)) == 0
         assert act_dtype(K) == want_dtype
         C, G = 8, 4
         act = rng.rand(C, G * K) < 0.5

@@ -8,9 +8,9 @@ step) at a geometry chosen to sit ON a dispatch or encoding boundary:
 
 * ``cell_dim`` not a multiple of 32 (partial cell-bitmask words, W=1
   and W=2 edges of `active_set.pack_bits`/`prediction_words`);
-* ``synapse_capacity`` crossing the bf16/f32 packed-activity line
-  (`act_dtype`: K=127 is the last bf16-exact width, K=128 the first
-  f32 one);
+* ``synapse_capacity`` crossing the packed-activity dtype lines
+  (`act_dtype`: u8 through K=125 — incl. K=64's non-power-of-two
+  scale — bf16 for K=126..127, f32 from K=128);
 * lane-unfriendly J = G*K (J % 128 != 0 forces the compare-chain
   matcher on TPU and odd tilings everywhere);
 * ``column_dim`` not a multiple of 8 (the Pallas kernels' XLA-fallback
@@ -63,7 +63,11 @@ FUZZ_CASES = [
     ("D48_W2_partial", dict(cell_dim=48, column_dim=48,
                             active_columns=5), 50),
     ("D64_W2_full", dict(cell_dim=64, column_dim=32), 40),
-    # --- K across the bf16/f32 packed-activity line (act_dtype) ---
+    # --- K across the packed-activity dtype lines (act_dtype) ---
+    ("K125_last_u8", dict(synapse_capacity=125, segments_per_column=2,
+                          segment_sampling_synapses=6), 40),
+    ("K126_first_bf16", dict(synapse_capacity=126, segments_per_column=2,
+                             segment_sampling_synapses=6), 40),
     ("K127_last_bf16", dict(synapse_capacity=127, segments_per_column=2,
                             segment_sampling_synapses=6), 40),
     ("K128_first_f32", dict(synapse_capacity=128, segments_per_column=2,
