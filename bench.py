@@ -53,11 +53,19 @@ def main():
                         "still on (the reference's return_winner_cell "
                         "default)")
     p.add_argument("--serve", action="store_true",
-                   help="the production serving path: htm_serve_scan — "
-                        "learning=False with compute_winner=False (anomaly "
-                        "scoring needs no winner cells; dropping the winner "
-                        "pass is the measured serving win). Bit-identical "
-                        "outputs to --inference minus the winner masks.")
+                   help="the production serving path: htm_serve_scan over a "
+                        "compact serving table (connected synapses only, "
+                        "per-column packed — ops/serving.py) built from a "
+                        "graph trained for --serve_warmup steps (packing an "
+                        "EMPTY graph would flatter the number). Predictions "
+                        "bit-identical to the unpacked inference scan.")
+    p.add_argument("--serve_unpacked", action="store_true",
+                   help="with --serve: skip the compact table and serve the "
+                        "full pool (the pre-round-4 serving path; the "
+                        "ablation baseline for the packed win)")
+    p.add_argument("--serve_warmup", type=int, default=256,
+                   help="learning steps used to populate the graph before "
+                        "--serve freezes and packs it (untimed)")
     p.add_argument("--detailed_metrics", action="store_true",
                    help="include the full-table occupancy metrics "
                         "(tm_pool_occupancy etc.) in every step; off by "
@@ -127,10 +135,30 @@ def main():
     shape = f"{args.column_dim}x{args.cell_dim}"
     if args.mode == "htm":
         if args.serve:
-            from bithtm_tpu import htm_serve_scan
+            from bithtm_tpu import htm_scan as _train_scan, htm_serve_scan
+
+            # populate the graph before freezing: serving an empty pool
+            # measures nothing real. Untimed (compile + warmup both
+            # excluded by the warmup run below).
+            warm = jnp.asarray(
+                patterns[np.arange(args.serve_warmup) % args.input_patterns]
+                ^ (rng.rand(args.serve_warmup, B, args.input_dim) < 0.05)
+            )
+            state, _ = _train_scan(cfg, state, warm, True)
+            table = None
+            if not args.serve_unpacked:
+                from bithtm_tpu.ops.serving import make_serving_table
+
+                table = make_serving_table(cfg.tm, state.tm)
+                rshape = tuple(table.rows.shape)
+                print(f"# serving table: rows {rshape}, ext "
+                      f"{tuple(table.ext_col.shape)} (full pool: "
+                      f"{(B, args.column_dim, cfg.tm.segments_per_column * cfg.tm.synapse_capacity)})",
+                      file=sys.stderr)
 
             run = lambda st: htm_serve_scan(
-                cfg, st, seq, detailed_metrics=args.detailed_metrics)
+                cfg, st, seq, detailed_metrics=args.detailed_metrics,
+                serving_table=table)
         else:
             run = lambda st: htm_scan(
                 cfg, st, seq, learn,

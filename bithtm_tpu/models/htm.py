@@ -56,6 +56,7 @@ def htm_step(
     temporal_memory=None,
     detailed_metrics: bool = True,
     frozen_word: jnp.ndarray | None = None,
+    serving_table=None,
 ) -> tuple[HTMState, HTMOutput]:
     """One full timestep for a single stream. `learning` and
     `compute_winner` (the reference's `return_winner_cell`,
@@ -80,11 +81,12 @@ def htm_step(
             f"htm_step expects a single ({cfg.input_dim},) input SDR, got "
             f"{input_bits.shape}; use htm_step_batch for a (B, I) batch"
         )
-    if frozen_word is not None and temporal_memory is not None:
+    if (frozen_word is not None or serving_table is not None) \
+            and temporal_memory is not None:
         raise ValueError(
-            "frozen_word is a fast path of the built-in tm_step; a "
-            "temporal_memory hook would silently ignore it — pass the "
-            "packed table to the hook yourself instead"
+            "frozen_word/serving_table are fast paths of the built-in "
+            "tm_step; a temporal_memory hook would silently ignore "
+            "them — pass the packed table to the hook yourself instead"
         )
     key, sub = jax.random.split(state.key)
     with jax.named_scope("sp"):
@@ -104,6 +106,7 @@ def htm_step(
                 col_active=(sp_out.active_mask
                             if inhibition is None else None),
                 frozen_word=frozen_word,
+                serving_table=serving_table,
             )
         else:
             tm_state, tm_out = temporal_memory(
@@ -116,9 +119,15 @@ def htm_step(
 
 def htm_step_batch(cfg, state, input_bits, learning=True,
                    compute_winner=True, detailed_metrics=True,
-                   frozen_word=None):
+                   frozen_word=None, serving_table=None):
     """Batched step: state pytree and inputs carry a leading stream axis.
     Streams are fully independent (pure data parallelism)."""
+    if serving_table is not None:
+        return jax.vmap(
+            lambda s, x, st: htm_step(cfg, s, x, learning, compute_winner,
+                                      detailed_metrics=detailed_metrics,
+                                      serving_table=st)
+        )(state, input_bits, serving_table)
     if frozen_word is None:
         return jax.vmap(
             lambda s, x: htm_step(cfg, s, x, learning, compute_winner,
@@ -133,7 +142,8 @@ def htm_step_batch(cfg, state, input_bits, learning=True,
 
 def _scan_impl(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
                learning: bool, unroll: int, compute_winner: bool,
-               detailed_metrics: bool, frozen_word=None):
+               detailed_metrics: bool, frozen_word=None,
+               serving_table=None):
     """Shared validation + scan body for `htm_scan` and
     `htm_serve_scan` — ONE implementation, so the serve path's
     bit-equality contract cannot drift from the standard scan."""
@@ -162,12 +172,14 @@ def _scan_impl(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
             new_state, out = htm_step_batch(cfg, carry, x, learning,
                                             compute_winner,
                                             detailed_metrics,
-                                            frozen_word=frozen_word)
+                                            frozen_word=frozen_word,
+                                            serving_table=serving_table)
         else:
             new_state, out = htm_step(cfg, carry, x, learning,
                                       compute_winner,
                                       detailed_metrics=detailed_metrics,
-                                      frozen_word=frozen_word)
+                                      frozen_word=frozen_word,
+                                      serving_table=serving_table)
         return new_state, out.metrics
 
     return jax.lax.scan(body, state, inputs, unroll=unroll)
@@ -197,7 +209,7 @@ def htm_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
                    donate_argnums=(1,))
 def htm_serve_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
                    unroll: int = 0, compute_winner: bool = False,
-                   detailed_metrics: bool = True):
+                   detailed_metrics: bool = True, serving_table=None):
     """The serving scan: ``htm_scan`` with learning off and
     `compute_winner` defaulting False — the anomaly-serving path has no
     use for winner cells (the reference's `return_winner_cell=False`,
@@ -216,7 +228,17 @@ def htm_serve_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
     rejected"). Pass ``frozen_word`` to `tm_step` directly to
     re-measure on hardware where the balance differs.
 
+    ``serving_table`` (a `ops.serving.make_serving_table` compact
+    table for this state, batched like it): the forward pass then runs
+    over connected synapses only — per-column packed, ~1/4 the traffic
+    and ~1/2 the elements of the full pool. Predictions and the
+    returned metrics are bit-identical; the final state's
+    ``synapse_act`` / ``matching_word`` carry stale values (re-derive
+    with one unpacked inference step before resuming learning).
+    Requires ``compute_winner=False`` and ``detailed_metrics=False``.
+
     Same returns as `htm_scan`: (final state, [T]-leading metrics).
     """
     return _scan_impl(cfg, state, inputs, False, unroll,
-                      compute_winner, detailed_metrics)
+                      compute_winner, detailed_metrics,
+                      serving_table=serving_table)

@@ -655,6 +655,7 @@ def tm_step(
     detailed_metrics: bool = True,
     col_active: jnp.ndarray | None = None,
     frozen_word: jnp.ndarray | None = None,
+    serving_table=None,
 ):
     """One TM timestep for a single stream.
 
@@ -674,7 +675,34 @@ def tm_step(
     for this state's synapse tables — the forward pass then reads
     4 B/slot instead of syn+perm's 8 (the serving fast path,
     `htm_serve_scan`). Results are bit-identical to the unpacked path.
+
+    `serving_table` (serving only: requires ``learning=False`` and
+    ``compute_winner=False``): a `ops.serving.make_serving_table`
+    compact table for this state — connected synapses only, per-column
+    packed (typically ~1/4 the forward-pass traffic and ~1/2 the
+    elements). Predictions and all always-on metrics are bit-identical
+    to the unpacked path; the carried ``synapse_act`` passes through
+    unchanged (stale — nothing in the serving loop reads it) and the
+    carried ``matching_word`` holds connected-matching flags (a subset
+    of true matching; re-derive with one unpacked inference step before
+    resuming learning from a served state). ``detailed_metrics`` is
+    rejected (``tm_matching_segments`` would undercount).
     """
+    if serving_table is not None:
+        if learning or compute_winner:
+            raise ValueError(
+                "serving_table is a serving-only fast path: it needs "
+                "learning=False and compute_winner=False (winner "
+                "selection reads the full activity table the compact "
+                "form drops)")
+        if frozen_word is not None:
+            raise ValueError("pass either serving_table or frozen_word, "
+                             "not both")
+        if detailed_metrics:
+            raise ValueError(
+                "serving_table computes connected-only counts; "
+                "tm_matching_segments would undercount — pass "
+                "detailed_metrics=False")
     if frozen_word is not None and learning:
         raise ValueError("frozen_word is an inference-only fast path; "
                          "learning mutates the tables it snapshots")
@@ -757,6 +785,25 @@ def tm_step(
             (pun_word[:, None] >> jnp.arange(G, dtype=jnp.int32)[None, :])
             & 1
         ) != 0
+    elif serving_table is not None:
+        # compact-serving forward: connected-only counts straight off
+        # the packed table (see ops/serving.py). seg_active is EXACT
+        # (conn-active >= theta_a implies potential >= theta_a >=
+        # theta_m, the pack-time precondition); the matching flags are
+        # connected-matching (subset of true matching, carried for
+        # shape-compatibility only).
+        from ..ops.serving import serving_counts
+
+        syn_full = state.synapse_cell
+        perm_full = state.synapse_perm
+        seg_cell = state.seg_cell
+        learn_metrics = {}
+        conn_cnt = serving_counts(serving_table, active_cols, act_bits,
+                                  C, D, G)                    # (C, G)
+        matching = conn_cnt >= cfg.segment_matching_threshold
+        seg_active = conn_cnt >= cfg.segment_activation_threshold
+        prediction = prediction_words(seg_cell, seg_active, D)
+        act_now = state.synapse_act          # pass-through (stale)
     else:
         # inference: tables are frozen, only the forward pass runs
         # (networks.py:121-122, projections.py:245-255)

@@ -807,6 +807,68 @@ def synapse_activation_frozen_tpu(
     )(*match_ops, frozen_word)
 
 
+def _serving_act_kernel(*refs, cell_dim: int, num_active: int,
+                        words: int, bisect_L: int, hash_match: bool,
+                        block: int):
+    """Forward pass over a compact serving table (`ops.serving`): ONE
+    i32 word per connected synapse (cell id << 5 | segment g, -1 =
+    empty); emits g+1 as uint8 where the presynaptic cell is active,
+    else 0 — the per-segment counts then decode from a 1 B/elem read
+    outside. The matcher is the same salted-hash / bisection /
+    compare-chain dispatch as the learning kernels."""
+    *match_refs, word_ref, act_ref = refs
+    w = word_ref[:]                                  # (Rb, 128) i32
+    g = w & jnp.int32(31)                            # SERVING_G_BITS
+    cell = w >> jnp.int32(5)                         # -1 when empty
+    col = cell // cell_dim
+    lo = cell - col * cell_dim
+    bitpos = (lo % 32).astype(jnp.uint32)
+    matched = _matched_any(match_refs, col, lo, num_active=num_active,
+                           words=words, bisect_L=bisect_L,
+                           hash_match=hash_match, block=block)
+    act = (((matched >> bitpos) & jnp.uint32(1)) == jnp.uint32(1)) & (
+        w >= 0
+    )
+    act_ref[:] = jnp.where(act, g + 1, 0).astype(jnp.uint8)
+
+
+def serving_activation_tpu(
+    rows: jnp.ndarray,       # (R, 128) int32 packed serving words
+    cols: jnp.ndarray,       # (A,) int32
+    bits: jnp.ndarray,       # (A, W) uint32
+    cell_dim: int,
+    block: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas TPU form of `serving.serving_activation_xla` (identical
+    results): one HBM pass over the compact table, 4 B read + 1 B
+    written per connected synapse."""
+    R = rows.shape[0]
+    A, W = bits.shape
+    block = min(block, R)
+    assert R % block == 0, (R, block)
+
+    bisect_L, hash_match, match_ops, match_specs = _matcher_inputs(
+        cols, bits, 128)
+    kernel = functools.partial(
+        _serving_act_kernel, cell_dim=cell_dim, num_active=A, words=W,
+        bisect_L=bisect_L, hash_match=hash_match, block=block,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R, 128), jnp.uint8),
+        grid=(R // block,),
+        in_specs=[
+            *match_specs,
+            pl.BlockSpec((block, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*match_ops, rows)
+
+
 def _small_take_kernel(tab_ref, idx_ref, out_ref, *, chunks: int):
     tab = tab_ref[:]                               # (R8, 128)
     idx = idx_ref[:]                               # (S, 128) int32

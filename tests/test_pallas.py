@@ -435,3 +435,30 @@ def test_frozen_kernel_matches_conn_paths():
             word, jnp.asarray(cols), bits, D, K, block=8, interpret=True,
         ), np.float32)
         np.testing.assert_array_equal(kern_v, ref_v)
+
+
+def test_serving_activation_kernel_matches_xla():
+    """The compact-serving activation kernel (`serving_activation_tpu`,
+    interpret mode) vs `serving_activation_xla` — hash (A=41) and chain
+    (A=50) matcher forms, with empty (-1) lanes present."""
+    from bithtm_tpu.ops.pallas_kernels import serving_activation_tpu
+    from bithtm_tpu.ops.serving import SERVING_G_BITS, serving_activation_xla
+
+    rng = np.random.RandomState(9)
+    C, D, G = 512, 32, 4
+    N = C * D
+    for A in (41, 50):
+        R = 520  # main + ext-ish rows; block must divide -> use 8
+        cell = rng.randint(0, N, size=(R, 128)).astype(np.int32)
+        g = rng.randint(0, G, size=(R, 128)).astype(np.int32)
+        words = (cell << SERVING_G_BITS) | g
+        words[rng.rand(R, 128) < 0.4] = -1
+        cols = rng.choice(C, A, replace=False).astype(np.int32)
+        rows_m = rng.rand(A, D) < 0.5
+        bits = pack_bits(jnp.asarray(rows_m))
+        ref = np.asarray(serving_activation_xla(
+            jnp.asarray(words), jnp.asarray(cols), bits, D))
+        got = np.asarray(serving_activation_tpu(
+            jnp.asarray(words), jnp.asarray(cols), bits, D,
+            block=8, interpret=True))
+        np.testing.assert_array_equal(got, ref)
