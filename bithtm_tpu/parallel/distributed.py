@@ -59,6 +59,32 @@ def local_batch_slice(global_batch: int) -> slice:
     return slice(i * per, (i + 1) * per)
 
 
+def local_data_slice(global_batch: int, mesh) -> slice:
+    """The slice of the global stream batch this process should feed
+    for a (data x model) `mesh` whose batch axis is sharded over the
+    DATA axis only. Unlike `local_batch_slice` (which assumes one
+    process per data block), this reads which data-axis rows this
+    process's devices actually address — when the MODEL axis spans
+    processes, several processes feed the SAME batch rows (the rows
+    are replicated over model shards and
+    `make_array_from_process_local_data` expects each process to hand
+    over its addressable portion)."""
+    import numpy as np
+
+    dev = np.asarray(mesh.devices)            # (n_data, n_model)
+    n_data = dev.shape[0]
+    assert global_batch % n_data == 0, (global_batch, n_data)
+    per = global_batch // n_data
+    local_ids = {d.id for d in jax.local_devices()}
+    rows = [i for i in range(n_data)
+            if any(d.id in local_ids for d in dev[i].ravel())]
+    assert rows == list(range(rows[0], rows[0] + len(rows))), (
+        f"process-local devices cover non-contiguous data rows {rows}; "
+        f"feed with explicit per-shard assembly instead"
+    )
+    return slice(rows[0] * per, (rows[-1] + 1) * per)
+
+
 def make_global_array(local_np, mesh, spec):
     """Assemble per-process host data into one globally-sharded array
     (the data-loading path for multi-host runs)."""

@@ -25,24 +25,27 @@ _PREAMBLE = textwrap.dedent("""
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     port, rank, repo = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    nprocs = int(os.environ.get("BITHTM_TEST_NPROCS", "2"))
     import jax
     jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, repo)
     from bithtm_tpu.parallel.distributed import (
-        initialize, local_batch_slice, make_global_array)
-    initialize(f"localhost:{port}", num_processes=2, process_id=rank)
+        initialize, local_batch_slice, local_data_slice,
+        make_global_array)
+    initialize(f"localhost:{port}", num_processes=nprocs, process_id=rank)
     import numpy as np, jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
     from bithtm_tpu import htm_init_batch, make_htm_config
     from bithtm_tpu.parallel.mesh import (
-        make_mesh, shard_batched_state, sharded_step)
+        make_mesh, shard_batched_state, sharded_serve_step, sharded_step)
     from bithtm_tpu.utils.checkpoint import _rekey, _unkey
-    assert jax.device_count() == 4 and jax.local_device_count() == 2
+    assert jax.device_count() == 2 * nprocs
+    assert jax.local_device_count() == 2
     cfg = make_htm_config(64, 64, 4, 4, segments_per_column=4,
         segment_activation_threshold=2, segment_matching_threshold=2,
         segment_sampling_synapses=8)
-    B = 8
-    mesh = make_mesh(n_data=4, n_model=1)
+    B = 2 * jax.device_count()
+    mesh = make_mesh(n_data=jax.device_count(), n_model=1)
     step = sharded_step(cfg, mesh, learning=True)
 
     def feed(t):
@@ -124,7 +127,7 @@ WORKER_CKPT = _PREAMBLE + textwrap.dedent("""
 WORKER_RESUME = _PREAMBLE + textwrap.dedent("""
     from bithtm_tpu.utils import checkpoint as ckpt
     ckpt_dir = sys.argv[4]
-    like = htm_init_batch(jax.random.key(0), cfg, B // 2)  # local template
+    like = htm_init_batch(jax.random.key(0), cfg, B // nprocs)  # local
     like_raw = _unkey(jax.device_get(like))
     raw_local = ckpt.restore(os.path.join(ckpt_dir, f"shard{rank}"),
                              like_raw)  # plain arrays (keys as u32 data)
@@ -141,10 +144,61 @@ WORKER_RESUME = _PREAMBLE + textwrap.dedent("""
 """)
 
 
-def _spawn(script_text, extra_args, tmp_path, tag, until, timeout=240):
-    """Start 2 workers on a fresh port; wait until `until(outputs)` is
-    true (outputs grow live) or timeout. Returns (procs, outputs).
-    Caller must kill/reap the procs."""
+# Wide-drill phase B (run with nprocs=4): restore the 8-way
+# data-parallel state from the per-process shards, continue stepping,
+# then exercise a cross-host (2 data x 4 model) mesh — each data
+# replica's model shards span two processes — with learning AND serving
+# steps (`sharded_serve_step`).
+WORKER_WIDE_RESUME = _PREAMBLE + textwrap.dedent("""
+    from bithtm_tpu.utils import checkpoint as ckpt
+    ckpt_dir = sys.argv[4]
+    like = htm_init_batch(jax.random.key(0), cfg, B // nprocs)
+    like_raw = _unkey(jax.device_get(like))
+    raw_local = ckpt.restore(os.path.join(ckpt_dir, f"shard{rank}"),
+                             like_raw)
+    raw_global = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(like_raw),
+        [make_global_array(np.asarray(x), mesh,
+                           P("data", *([None] * (np.ndim(x) - 1))))
+         for x in jax.tree_util.tree_leaves(raw_local)])
+    state = _rekey(raw_global, like)
+    for t in range(3, 5):
+        state, metrics = step(state, feed(t))
+    jax.block_until_ready(state)
+    print(f"RESUME_DIGEST rank={rank} {digest(state)}", flush=True)
+
+    # cross-host model parallelism + serving: 2 data x 4 model (the
+    # model axis of each data replica spans TWO processes, so two
+    # processes feed the SAME batch rows — local_data_slice, not
+    # local_batch_slice)
+    mesh2 = make_mesh(n_data=2, n_model=4)
+    step2 = sharded_step(cfg, mesh2, learning=True)
+    serve2 = sharded_serve_step(cfg, mesh2)
+    state2 = shard_batched_state(
+        htm_init_batch(jax.random.key(7), cfg, 4), mesh2)
+    rng2 = np.random.RandomState(9)
+    for t in range(2):
+        full = rng2.rand(4, cfg.input_dim) < 0.2
+        x2 = make_global_array(full[local_data_slice(4, mesh2)], mesh2,
+                               P("data", None))
+        state2, m2 = step2(state2, x2)
+    for t in range(2):
+        full = rng2.rand(4, cfg.input_dim) < 0.2
+        x2 = make_global_array(full[local_data_slice(4, mesh2)], mesh2,
+                               P("data", None))
+        state2, m2 = serve2(state2, x2)
+    jax.block_until_ready(state2)
+    burst = int(np.asarray(jax.device_get(
+        m2["bursting"].addressable_shards[0].data)).sum())
+    print(f"WIDE_OK rank={rank} serve_burst_shard={burst}", flush=True)
+""")
+
+
+def _spawn(script_text, extra_args, tmp_path, tag, until, timeout=240,
+           nprocs=2):
+    """Start `nprocs` workers on a fresh port; wait until
+    `until(outputs)` is true (outputs grow live) or timeout. Returns
+    (procs, outputs). Caller must kill/reap the procs."""
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -153,8 +207,9 @@ def _spawn(script_text, extra_args, tmp_path, tag, until, timeout=240):
     script.write_text(script_text)
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    procs, outputs, threads = [], [[], []], []
-    for rank in range(2):
+    env["BITHTM_TEST_NPROCS"] = str(nprocs)
+    procs, outputs, threads = [], [[] for _ in range(nprocs)], []
+    for rank in range(nprocs):
         p = subprocess.Popen(
             [sys.executable, str(script), str(port), str(rank), repo,
              *extra_args],
@@ -179,8 +234,8 @@ def _spawn(script_text, extra_args, tmp_path, tag, until, timeout=240):
     for p in procs:
         p.kill()
     raise AssertionError(
-        f"workers did not reach the expected state; outputs:\n"
-        f"{''.join(outputs[0])[-2000:]}\n---\n{''.join(outputs[1])[-2000:]}"
+        "workers did not reach the expected state; outputs:\n"
+        + "\n---\n".join("".join(buf)[-2000:] for buf in outputs)
     )
 
 
@@ -191,8 +246,9 @@ def _kill_all(procs):
         p.wait(timeout=30)
 
 
-def _run_to_completion(script_text, tmp_path, tag, want, extra_args=()):
-    """Spawn, wait for `want` in both outputs, reap, return outputs."""
+def _run_to_completion(script_text, tmp_path, tag, want, extra_args=(),
+                       nprocs=2, timeout=240):
+    """Spawn, wait for `want` in every output, reap, return outputs."""
     last_err = None
     for attempt in range(2):  # one retry for port races
         try:
@@ -200,6 +256,7 @@ def _run_to_completion(script_text, tmp_path, tag, want, extra_args=()):
                 script_text, list(extra_args), tmp_path,
                 f"{tag}{attempt}",
                 lambda o: all(any(want in ln for ln in buf) for buf in o),
+                nprocs=nprocs, timeout=timeout,
             )
             _kill_all(procs)
             return ["".join(buf) for buf in outputs]
@@ -266,5 +323,66 @@ def test_elastic_recovery_restart_resumes_bitexact(tmp_path):
             h.update(np.ascontiguousarray(arr).tobytes())
         assert h.hexdigest() == digests[rank], (
             f"rank {rank}: resumed distributed state differs from the "
+            f"uninterrupted single-process control"
+        )
+
+
+def test_four_process_wide_drill(tmp_path):
+    """Round-3 VERDICT #7: 4 processes x 2 virtual devices. 8-way
+    data-parallel learning with per-process feeding, per-process npz
+    checkpoint shards, SIGKILL of all four workers mid-loop, restore
+    into fresh processes continuing bit-identically to an uninterrupted
+    single-process control — then a cross-host (2 data x 4 model) mesh
+    runs learning AND serving steps."""
+    ckpt_dir = tmp_path / "ckpt4"
+    ckpt_dir.mkdir()
+
+    # Phase A: 4 workers run + checkpoint their shards, then die.
+    procs, outputs = _spawn(
+        WORKER_CKPT, [str(ckpt_dir)], tmp_path, "wide_ckpt",
+        lambda o: all(any("CKPT_SAVED" in ln for ln in buf) for buf in o),
+        nprocs=4, timeout=360,
+    )
+    time.sleep(1.0)
+    _kill_all(procs)
+
+    # Phase B: fresh 4-process cluster restores + continues + runs the
+    # cross-host model mesh and the serving phase.
+    outs = _run_to_completion(WORKER_WIDE_RESUME, tmp_path, "wide_resume",
+                              "WIDE_OK", [str(ckpt_dir)], nprocs=4,
+                              timeout=360)
+    digests = {}
+    for rank, out in enumerate(outs):
+        line = [ln for ln in out.splitlines()
+                if ln.startswith("RESUME_DIGEST")][0]
+        assert f"rank={rank}" in line
+        digests[rank] = line.split()[-1]
+        assert f"WIDE_OK rank={rank}" in out, out[-2000:]
+
+    # Control: same 5 steps, single process, B=16.
+    import jax
+
+    from bithtm_tpu import htm_init_batch, htm_step_batch, make_htm_config
+    from bithtm_tpu.utils.checkpoint import _unkey
+
+    cfg = make_htm_config(64, 64, 4, 4, segments_per_column=4,
+                          segment_activation_threshold=2,
+                          segment_matching_threshold=2,
+                          segment_sampling_synapses=8)
+    B = 16
+    state = htm_init_batch(jax.random.key(0), cfg, B)
+    for t in range(5):
+        rng = np.random.RandomState(1000 + t)
+        x = rng.rand(B, cfg.input_dim) < 0.2
+        state, _ = htm_step_batch(cfg, state, x, learning=True)
+    host = jax.device_get(_unkey(state))
+    share = B // 4
+    for rank in range(4):
+        h = hashlib.sha256()
+        for leaf in jax.tree_util.tree_leaves(host):
+            arr = np.asarray(leaf)[rank * share:(rank + 1) * share]
+            h.update(np.ascontiguousarray(arr).tobytes())
+        assert h.hexdigest() == digests[rank], (
+            f"rank {rank}: resumed 4-process state differs from the "
             f"uninterrupted single-process control"
         )
