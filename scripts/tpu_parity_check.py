@@ -25,9 +25,11 @@ model (int16: bit-exact; f32: 1e-5). The rejected fused Pallas SP
 kernel (`sp_update_pack_tpu`, see docs/PERFORMANCE.md "Tried and
 rejected") is NOT in this loop; its parity lives in tests/test_pallas.py.
 
-Run: python scripts/tpu_parity_check.py [--size tiny|mid|full] [--steps N]
-[--sp] — `full` is the bench default config (2048 x 32, fast stack),
-i.e. the exact compiled kernels behind the headline number.
+Run: python scripts/tpu_parity_check.py [--size tiny|mid|full|bisect]
+[--steps N] [--sp] — `full` is the bench default config (2048 x 32,
+fast stack), i.e. the exact compiled kernels behind the headline
+number; `bisect` (C=4096, D=64, A=82) dispatches the bisection-gather
+matcher (A >= 64), the form the 16K x 64 scaled config runs.
 """
 
 import argparse
@@ -62,6 +64,19 @@ def make_cfg(size: str) -> TMConfig:
         return TMConfig(
             column_dim=512, cell_dim=32, active_columns=41,
             segments_per_column=8, synapse_capacity=48,
+            segment_activation_threshold=15, segment_matching_threshold=15,
+            segment_sampling_synapses=32,
+        )
+    if size == "bisect":
+        # A=82 >= BISECT_MIN_ACTIVE (ops/pallas_kernels.py:26): this
+        # dispatches the bisection-gather matcher — the form the entire
+        # 16K x 64 story runs — which the r3 parity runs never touched
+        # (their A=41 configs dispatch the salted-hash matcher).
+        # D=64 makes the active-cell bitset multi-word (W=2), C=4096
+        # keeps a chip run short at the real thresholds.
+        return TMConfig(
+            column_dim=4096, cell_dim=64, active_columns=82,
+            segments_per_column=4, synapse_capacity=64,
             segment_activation_threshold=15, segment_matching_threshold=15,
             segment_sampling_synapses=32,
         )
@@ -210,14 +225,16 @@ def run_sp_parity(steps: int = 30) -> None:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--size", choices=("tiny", "mid", "full"), default="tiny")
+    p.add_argument("--size", choices=("tiny", "mid", "full", "bisect"),
+                   default="tiny")
     p.add_argument("--steps", type=int, default=0,
-                   help="default: 80 (tiny) / 60 (mid) / 40 (full)")
+                   help="default: 80 (tiny) / 60 (mid) / 40 (full/bisect)")
     p.add_argument("--sp", action="store_true",
                    help="also check the compiled SP kernel")
     args = p.parse_args()
     print(f"backend: {jax.default_backend()} ({jax.devices()})")
-    steps = args.steps or {"tiny": 80, "mid": 60, "full": 40}[args.size]
+    steps = args.steps or {"tiny": 80, "mid": 60, "full": 40,
+                           "bisect": 40}[args.size]
     run_tm_parity(args.size, steps)
     if args.sp:
         run_sp_parity()
