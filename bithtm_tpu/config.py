@@ -251,11 +251,24 @@ class TMConfig:
         (steady-state learning segments are ~1 per active column; 2x
         absorbs multi-matching winners — overflow is dropped + counted
         in `tm_dropped_growth_segments`). Measured zero drops on the
-        2000-step reference-workload soak at this width."""
+        2000-step reference-workload soak at this width.
+
+        Large-A configs get 2.5x instead: the 16K x 64 growth-cap soak
+        peaked at 655 of the 2x floor's 656 slots — zero spare — and at
+        that scale the extra list width is noise against the step (the
+        L-wide selection sort is ~2 of ~40 ms; +25% width ~ +1% step).
+        Small-A configs keep 2x, where the soaked margin is real and
+        the sort is a visible slice of a ~11 ms step. L is per-step
+        scratch, not state: a config with a wider (or explicit)
+        `growth_capacity` resumes from the SAME state pytree, so a
+        counted drop has a zero-migration mitigation — re-jit with a
+        bigger L and continue (tested in
+        tests/test_pool_pressure.py::test_growth_cap_drop_mitigation)."""
         if self.growth_capacity:
             return self.growth_capacity
+        mult = 5 if self.active_columns >= 128 else 4  # halves of A
         return min(self.active_columns * self.segments_per_column,
-                   max(64, _round_up(2 * self.active_columns, 8)))
+                   max(64, _round_up(mult * self.active_columns // 2, 8)))
 
     @property
     def resolved_punish_capacity(self) -> int:

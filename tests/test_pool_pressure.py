@@ -122,3 +122,53 @@ def test_headroom_knob_keeps_pool_out_of_the_picture():
     assert all(s["evicted"] == 0 for s in stats)
     late = stats[-10:]
     assert max(s["predicted_frac"] for s in late) == 1.0, late
+
+
+def test_growth_cap_drop_mitigation():
+    """The growth list L (`resolved_growth_capacity`) is per-step
+    SCRATCH width, not state: a run that counts
+    `tm_dropped_growth_segments` overflows can re-jit with a wider
+    (explicit) `growth_capacity` and resume from the SAME state pytree
+    — zero migration. This pins the mitigation path the 16K soak's
+    655-of-656 peak relies on (round-3 VERDICT #4)."""
+    C, D, A, G = 96, 8, 24, 4
+    base = dict(
+        column_dim=C, cell_dim=D, active_columns=A,
+        segments_per_column=G, synapse_capacity=16,
+        segment_activation_threshold=3, segment_matching_threshold=3,
+        segment_sampling_synapses=6,
+    )
+    tight = TMConfig(**base, growth_capacity=8)
+    wide = TMConfig(**base, growth_capacity=64)
+
+    rng = np.random.RandomState(3)
+    cols = [np.sort(rng.choice(C, size=A, replace=False)).astype(np.int32)
+            for _ in range(4)]
+    step_tight = jax.jit(functools.partial(tm_step, tight),
+                         static_argnames=("learning",))
+    step_wide = jax.jit(functools.partial(tm_step, wide),
+                        static_argnames=("learning",))
+
+    state = tm_init(tight)
+    key = jax.random.key(9)
+    dropped = 0
+    for t in range(8):
+        key, k = jax.random.split(key)
+        state, out = step_tight(state, k, jnp.asarray(cols[t % 4]),
+                                learning=True)
+        dropped += int(out.metrics["tm_dropped_growth_segments"])
+    # bootstrap allocates ~A=24 growing segments/step; L=8 drops them
+    assert dropped > 0, "workload failed to overflow the tight L"
+
+    # same state pytree, wider L: shapes unchanged, drops stop
+    jax.tree_util.tree_map(lambda x: x, state)  # still a valid pytree
+    dropped_after = 0
+    for t in range(12):
+        key, k = jax.random.split(key)
+        state, out = step_wide(state, k, jnp.asarray(cols[t % 4]),
+                               learning=True)
+        dropped_after += int(out.metrics["tm_dropped_growth_segments"])
+    assert dropped_after == 0, dropped_after
+    # and learning actually proceeds: the repeating patterns predict
+    pred = prediction_dense_host(state.prediction, D)
+    assert pred.any(), "no predictions formed after widening L"
