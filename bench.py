@@ -15,12 +15,40 @@ import argparse
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 
 BASELINE_STEPS_PER_SEC = 48.0  # reference NumPy, warm, single stream
+
+
+def _run_with_timeout(fn, timeout):
+    """Run fn() in a daemon thread; return (ok, value-or-None).
+
+    On the axon tunnel a wedged worker blocks host reads forever
+    (CLAUDE.md "tunnel worker intermittently goes zombie"); a plain call
+    would hang until the driver's kill with nothing printed. The thread
+    lets us keep the already-emitted JSON lines as the official record
+    and exit with a diagnostic instead.
+    """
+    box = {}
+
+    def target():
+        try:
+            box["value"] = fn()
+        except BaseException as e:  # noqa: BLE001 - re-raised below
+            box["error"] = e
+
+    th = threading.Thread(target=target, daemon=True)
+    th.start()
+    th.join(timeout)
+    if th.is_alive():
+        return False, None
+    if "error" in box:
+        raise box["error"]
+    return True, box.get("value")
 
 
 def main():
@@ -78,6 +106,14 @@ def main():
                         "counters) or 'evict' (also evict the weakest "
                         "mature slot — the analogue of the reference's "
                         "unbounded growth; see docs/PERFORMANCE.md)")
+    p.add_argument("--max_seconds", type=float, default=240.0,
+                   help="wall-time budget for the timed-repeat phase; "
+                        "whatever best-of has been achieved when it expires "
+                        "is the recorded number (wedge insurance — "
+                        "BENCH_r04 timed out with zero output)")
+    p.add_argument("--warmup_timeout", type=float, default=600.0,
+                   help="bound on the compile+warmup dispatch (first Mosaic "
+                        "compile can take minutes server-side)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--compile_cache", nargs="?", const="", default=None,
                    metavar="DIR",
@@ -213,27 +249,96 @@ def main():
             }
         metric = f"tm_only_timesteps_per_sec_{shape}_{suffix}"
 
-    t0 = time.time()
-    state, metrics = run(state)
-    jax.block_until_ready(state)
-    print(f"# warmup (compile + {T} steps): {time.time() - t0:.1f}s",
-          file=sys.stderr)
+    def emit(agg, note):
+        # Flushed immediately: the driver parses the LAST JSON line, so
+        # every completed repeat re-prints the best-so-far — a wedge
+        # after repeat k still leaves repeat k's number as the record.
+        print(f"# emit ({note}): {agg:,.0f} steps/s", file=sys.stderr,
+              flush=True)
+        print(json.dumps({
+            "metric": metric,
+            "value": round(agg, 1),
+            "unit": "timesteps/s",
+            "vs_baseline": round(agg / BASELINE_STEPS_PER_SEC, 1),
+        }), flush=True)
 
-    times = []
-    for r in range(args.repeats):
+    def bracket(tag, timeout=120.0):
+        # Tiny known-good dispatch + host read. If THIS wedges, the
+        # tunnel worker is gone — distinguishable in the tail output
+        # from a slow benchmark compile.
+        def tiny():
+            x = jnp.ones((128, 128), jnp.float32)
+            return float(jnp.dot(x, x)[0, 0])
+
         t0 = time.time()
-        state, metrics = run(state)
+        ok, v = _run_with_timeout(tiny, timeout)
+        if ok:
+            print(f"# bracket[{tag}]: ok ({v:.0f}) in "
+                  f"{time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+        else:
+            print(f"# bracket[{tag}]: WEDGED (no host read within "
+                  f"{timeout:.0f}s) — tunnel worker unresponsive",
+                  file=sys.stderr, flush=True)
+        return ok
+
+    if not bracket("pre"):
+        print("# aborting: device unusable before benchmark started",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+    def one_run(st):
+        new_st, mets = run(st)
         # force a host read so remote-execution backends can't report
         # completion before the device work actually drains
-        _ = float(np.asarray(metrics["anomaly"][-1]).sum())
-        jax.block_until_ready(state)
+        _ = float(np.asarray(mets["anomaly"][-1]).sum())
+        jax.block_until_ready(new_st)
+        return new_st, mets
+
+    t0 = time.time()
+    ok, res = _run_with_timeout(lambda: one_run(state), args.warmup_timeout)
+    warm_s = time.time() - t0
+    if not ok:
+        print(f"# warmup WEDGED after {warm_s:.0f}s (limit "
+              f"{args.warmup_timeout:.0f}s)", file=sys.stderr, flush=True)
+        bracket("post-wedge", timeout=60.0)
+        os._exit(3)
+    state, metrics = res
+    print(f"# warmup (compile + {T} steps): {warm_s:.1f}s",
+          file=sys.stderr, flush=True)
+    # Provisional record: compile-contaminated, replaced by the first
+    # clean repeat — but if the tunnel wedges right after warmup
+    # (the exact BENCH_r04 failure), this line IS the round's record.
+    emit(B * T / warm_s, "provisional, compile-contaminated warmup")
+
+    times = []
+    deadline = time.time() + args.max_seconds
+    for r in range(args.repeats):
+        budget = deadline - time.time()
+        if budget <= 0 and times:
+            print(f"# stopping after {r} repeats: --max_seconds "
+                  f"{args.max_seconds:.0f} budget spent",
+                  file=sys.stderr, flush=True)
+            break
+        t0 = time.time()
+        ok, res = _run_with_timeout(lambda: one_run(state),
+                                    max(budget, 30.0))
+        if not ok:
+            print(f"# repeat {r} WEDGED after {time.time() - t0:.0f}s — "
+                  f"keeping best-of-{len(times)} as the record",
+                  file=sys.stderr, flush=True)
+            bracket("post-wedge", timeout=60.0)
+            os._exit(0 if times else 3)
+        state, metrics = res
         times.append(time.time() - t0)
+        best = min(times)
+        if times[-1] <= best:
+            emit(B * T / best, f"best after repeat {r + 1}")
     best = min(times)
     agg = B * T / best
     print(
-        f"# best of {args.repeats}: {best:.3f}s for {T} steps x {B} streams"
+        f"# best of {len(times)}: {best:.3f}s for {T} steps x {B} streams"
         f" = {agg:,.0f} steps/s ({best / T * 1e3:.2f} ms/step)",
-        file=sys.stderr,
+        file=sys.stderr, flush=True,
     )
     if args.mode == "htm":
         print(
@@ -241,12 +346,8 @@ def main():
             f"{np.asarray(metrics['bursting'][-1]).mean():.1f}",
             file=sys.stderr,
         )
-    print(json.dumps({
-        "metric": metric,
-        "value": round(agg, 1),
-        "unit": "timesteps/s",
-        "vs_baseline": round(agg / BASELINE_STEPS_PER_SEC, 1),
-    }))
+    bracket("post")
+    emit(agg, "final")
 
 
 if __name__ == "__main__":
