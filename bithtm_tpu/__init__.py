@@ -31,9 +31,9 @@ from .state import (
     tm_init,
 )
 from .models.htm import (HTMOutput, htm_scan, htm_serve_scan,
-                         htm_step, htm_step_batch)
+                         htm_step, htm_step_batch, resume_learning)
 from .models.spatial_pooler import SPOutput, sp_step
-from .models.temporal_memory import TMOutput, tm_step
+from .models.temporal_memory import TMOutput, tm_resume, tm_step
 from .host_hooks import HostTemporalMemory
 from .networks import HierarchicalTemporalMemory, SpatialPooler, TemporalMemory
 from .encoders import (
@@ -69,8 +69,8 @@ __all__ = [
     "HTMState", "SPState", "TMState",
     "htm_init", "htm_init_batch", "sp_init", "tm_init",
     "htm_step", "htm_step_batch", "htm_scan", "htm_serve_scan",
-    "HTMOutput",
-    "sp_step", "SPOutput", "tm_step", "TMOutput",
+    "resume_learning", "HTMOutput",
+    "sp_step", "SPOutput", "tm_step", "tm_resume", "TMOutput",
     "HierarchicalTemporalMemory", "SpatialPooler", "TemporalMemory",
     "HostTemporalMemory",
     "ScalarEncoder", "CyclicEncoder", "CategoryEncoder", "DateTimeEncoder",

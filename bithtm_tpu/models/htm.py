@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..config import HTMConfig
 from ..state import HTMState
 from .spatial_pooler import SPOutput, sp_step
-from .temporal_memory import TMOutput, tm_step
+from .temporal_memory import TMOutput, tm_resume, tm_step
 
 
 class HTMOutput(NamedTuple):
@@ -205,11 +205,33 @@ def htm_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
                       compute_winner, detailed_metrics)
 
 
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def resume_learning(cfg: HTMConfig, state: HTMState) -> HTMState:
+    """Make a compact-serving state safe to learn from again.
+
+    After `htm_serve_scan(..., serving_table=...)` the carried
+    ``synapse_act`` and ``matching_word`` are stale (the compact table
+    skips the full-table forward pass that produces them); the next
+    learning step would reinforce/punish against the wrong activity.
+    This re-derives both from the frozen tables and the state's own
+    previous active set — no input consumed, no timestep taken — so
+    serve -> resume -> learn is bit-equal to having served unpacked.
+    Handles single-stream and batched states; a no-op (bit-exact
+    recompute of current values) on states that never served packed.
+    """
+    if state.tm.prediction.ndim == 3:
+        tm = jax.vmap(lambda t: tm_resume(cfg.tm, t))(state.tm)
+    else:
+        tm = tm_resume(cfg.tm, state.tm)
+    return HTMState(sp=state.sp, tm=tm, key=state.key)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5),
                    donate_argnums=(1,))
 def htm_serve_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
                    unroll: int = 0, compute_winner: bool = False,
-                   detailed_metrics: bool = True, serving_table=None):
+                   detailed_metrics: bool | None = None,
+                   serving_table=None):
     """The serving scan: ``htm_scan`` with learning off and
     `compute_winner` defaulting False — the anomaly-serving path has no
     use for winner cells (the reference's `return_winner_cell=False`,
@@ -233,12 +255,16 @@ def htm_serve_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
     over connected synapses only — per-column packed, ~1/4 the traffic
     and ~1/2 the elements of the full pool. Predictions and the
     returned metrics are bit-identical; the final state's
-    ``synapse_act`` / ``matching_word`` carry stale values (re-derive
-    with one unpacked inference step before resuming learning).
-    Requires ``compute_winner=False`` and ``detailed_metrics=False``.
+    ``synapse_act`` / ``matching_word`` carry stale values — call
+    `resume_learning(cfg, state)` before the next learning step.
+    Requires ``compute_winner=False``; ``detailed_metrics`` defaults
+    to False when a table is passed (the compact counts would make
+    ``tm_matching_segments`` undercount) and True otherwise.
 
     Same returns as `htm_scan`: (final state, [T]-leading metrics).
     """
+    if detailed_metrics is None:
+        detailed_metrics = serving_table is None
     return _scan_impl(cfg, state, inputs, False, unroll,
                       compute_winner, detailed_metrics,
                       serving_table=serving_table)

@@ -643,6 +643,35 @@ def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
     return syn_full, perm_full, seg_cell, metrics, debug
 
 
+def tm_resume(cfg: TMConfig, state: TMState) -> TMState:
+    """Re-derive the carries a compact-serving scan leaves stale.
+
+    `tm_step(serving_table=...)` passes ``synapse_act`` through
+    unchanged and stores connected-only matching flags in
+    ``matching_word`` (see its docstring); both are re-derived here from
+    the frozen tables and the state's own previous active set — exactly
+    what the unpacked inference forward pass would have produced at the
+    last served step. No input is consumed and no step is taken, so
+    serve -> resume -> learn is bit-equal to unpacked-inference -> learn
+    (`tests/test_serving.py`). Mirrors the reference's inference-mode
+    contract where any step may be followed by a learning step
+    (`networks.py:91,99`).
+    """
+    G, K, D = cfg.segments_per_column, cfg.synapse_capacity, cfg.cell_dim
+    act_now = synapse_activation_conn(
+        state.synapse_cell, state.synapse_perm, state.active_cols,
+        state.active_bits, D, cfg.permanence_threshold, K,
+    )
+    potential, _ = seg_counts_packed(act_now, G, K)
+    matching = potential >= cfg.segment_matching_threshold
+    matching_word = jnp.sum(
+        matching.astype(jnp.int32)
+        << jnp.arange(G, dtype=jnp.int32)[None, :],
+        axis=-1, dtype=jnp.int32,
+    )
+    return state.replace(synapse_act=act_now, matching_word=matching_word)
+
+
 def tm_step(
     cfg: TMConfig,
     state: TMState,

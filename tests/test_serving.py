@@ -120,6 +120,94 @@ def test_serve_scan_packed_bit_equals_unpacked():
                                   np.asarray(got_state.tm.synapse_perm))
 
 
+def test_serve_scan_table_works_under_defaults():
+    """The flagship path must not error under its own defaults:
+    `htm_serve_scan(..., serving_table=t)` with no other flags
+    (detailed_metrics auto-resolves to False when a table is passed)."""
+    cfg = make_htm_config(
+        input_dim=64, column_dim=64, cell_dim=4, active_columns=4,
+        segment_activation_threshold=2, segment_matching_threshold=2,
+        segment_sampling_synapses=8,
+    )
+    B, T = 2, 12
+    rng = np.random.RandomState(2)
+    pats = rng.rand(4, B, 64) < 0.2
+    state = htm_init_batch(jax.random.key(0), cfg, B)
+    state, _ = htm_scan(cfg, state, jnp.asarray(pats[np.arange(T) % 4]),
+                        True, 1)
+    tab = make_serving_table(cfg.tm, state.tm)
+    _, m = htm_serve_scan(cfg, state, jnp.asarray(pats[np.arange(6) % 4]),
+                          serving_table=tab)
+    assert "bursting" in m
+    assert "tm_pool_occupancy" not in m  # detailed metrics auto-off
+
+
+def test_serve_resume_learn_matches_unserved():
+    """serve(packed) -> resume_learning -> learn == serve(unpacked) ->
+    learn, bit-equal on EVERY state leaf (the resume helper re-derives
+    the stale synapse_act / matching_word carries)."""
+    from bithtm_tpu import resume_learning
+
+    cfg = make_htm_config(
+        input_dim=64, column_dim=64, cell_dim=4, active_columns=4,
+        segment_activation_threshold=2, segment_matching_threshold=2,
+        segment_sampling_synapses=8,
+    )
+    B = 3
+    rng = np.random.RandomState(7)
+    pats = rng.rand(5, B, 64) < 0.2
+    train_seq = jnp.asarray(pats[np.arange(40) % 5])
+    serve_seq = jnp.asarray(pats[np.arange(11) % 5])
+    learn_seq = jnp.asarray(pats[np.arange(9) % 5])
+
+    state = htm_init_batch(jax.random.key(0), cfg, B)
+    state, _ = htm_scan(cfg, state, train_seq, True, 1)
+
+    # control: unpacked inference then learning (never served packed)
+    ref, _ = htm_serve_scan(cfg, jax.tree.map(jnp.copy, state), serve_seq,
+                            1, detailed_metrics=False)
+    ref, ref_m = htm_scan(cfg, ref, learn_seq, True, 1)
+
+    tab = make_serving_table(cfg.tm, state.tm)
+    got, _ = htm_serve_scan(cfg, jax.tree.map(jnp.copy, state), serve_seq,
+                            1, serving_table=tab)
+    got = resume_learning(cfg, got)
+    got, got_m = htm_scan(cfg, got, learn_seq, True, 1)
+
+    got_leaves = dict(jax.tree_util.tree_leaves_with_path(got))
+    for path, a in jax.tree_util.tree_leaves_with_path(ref):
+        b = got_leaves[path]
+        if jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key):
+            a, b = jax.random.key_data(a), jax.random.key_data(b)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(path))
+    for k in ref_m:
+        np.testing.assert_array_equal(np.asarray(ref_m[k]),
+                                      np.asarray(got_m[k]), err_msg=k)
+
+
+def test_resume_learning_noop_on_unserved_state():
+    """On a state produced by the unpacked path, resume_learning is a
+    bit-exact recompute of the carries it already holds."""
+    from bithtm_tpu import resume_learning
+
+    cfg = make_htm_config(
+        input_dim=64, column_dim=64, cell_dim=4, active_columns=4,
+        segment_activation_threshold=2, segment_matching_threshold=2,
+        segment_sampling_synapses=8,
+    )
+    rng = np.random.RandomState(9)
+    pats = rng.rand(4, 2, 64) < 0.2
+    state = htm_init_batch(jax.random.key(3), cfg, 2)
+    state, _ = htm_scan(cfg, state, jnp.asarray(pats[np.arange(20) % 4]),
+                        True, 1)
+    resumed = resume_learning(cfg, jax.tree.map(jnp.copy, state))
+    np.testing.assert_array_equal(np.asarray(state.tm.synapse_act),
+                                  np.asarray(resumed.tm.synapse_act))
+    np.testing.assert_array_equal(np.asarray(state.tm.matching_word),
+                                  np.asarray(resumed.tm.matching_word))
+
+
 def test_serving_table_contract_guards():
     cfg = make_htm_config(
         input_dim=32, column_dim=32, cell_dim=4, active_columns=4,
