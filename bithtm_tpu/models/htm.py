@@ -57,6 +57,9 @@ def htm_step(
     detailed_metrics: bool = True,
     frozen_word: jnp.ndarray | None = None,
     serving_table=None,
+    overlap=None,
+    proximal_update=None,
+    distal_forward=None,
 ) -> tuple[HTMState, HTMOutput]:
     """One full timestep for a single stream. `learning` and
     `compute_winner` (the reference's `return_winner_cell`,
@@ -64,7 +67,14 @@ def htm_step(
     inference-only steps) are jit-static.
 
     `boosting` / `inhibition` forward to `sp_step`'s component hooks;
-    `temporal_memory` substitutes the TM step itself (the reference's
+    `overlap` / `proximal_update` substitute the proximal projection
+    (the reference's `proximal_projection=`, `networks.py:16,22` — see
+    `sp_step` for signatures); `distal_forward` substitutes the distal
+    forward rule on inference steps (the forward half of the
+    reference's `distal_projection=`, `networks.py:50-55` — see
+    `tm_step`; learning-mode substitution goes through
+    `temporal_memory=`); `temporal_memory` substitutes the TM step
+    itself (the reference's
     `temporal_memory=` constructor injection, `networks.py:134,144`,
     which is how its example swaps in the oracle, `example.py:7-12`):
 
@@ -81,17 +91,19 @@ def htm_step(
             f"htm_step expects a single ({cfg.input_dim},) input SDR, got "
             f"{input_bits.shape}; use htm_step_batch for a (B, I) batch"
         )
-    if (frozen_word is not None or serving_table is not None) \
-            and temporal_memory is not None:
+    if (frozen_word is not None or serving_table is not None
+            or distal_forward is not None) and temporal_memory is not None:
         raise ValueError(
-            "frozen_word/serving_table are fast paths of the built-in "
-            "tm_step; a temporal_memory hook would silently ignore "
-            "them — pass the packed table to the hook yourself instead"
+            "frozen_word/serving_table/distal_forward configure the "
+            "built-in tm_step; a temporal_memory hook would silently "
+            "ignore them — pass them to the hook yourself instead"
         )
     key, sub = jax.random.split(state.key)
     with jax.named_scope("sp"):
         sp_state, sp_out = sp_step(cfg.sp, state.sp, input_bits, learning,
-                                   boosting=boosting, inhibition=inhibition)
+                                   boosting=boosting, inhibition=inhibition,
+                                   overlap=overlap,
+                                   proximal_update=proximal_update)
     with jax.named_scope("tm"):
         if temporal_memory is None:
             tm_state, tm_out = tm_step(
@@ -107,6 +119,7 @@ def htm_step(
                             if inhibition is None else None),
                 frozen_word=frozen_word,
                 serving_table=serving_table,
+                distal_forward=distal_forward,
             )
         else:
             tm_state, tm_out = temporal_memory(

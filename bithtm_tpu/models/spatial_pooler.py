@@ -37,8 +37,8 @@ class SPOutput(NamedTuple):
 
 
 def sp_step(cfg: SPConfig, state: SPState, input_bits: jnp.ndarray,
-            learning: bool, boosting=None,
-            inhibition=None) -> tuple[SPState, SPOutput]:
+            learning: bool, boosting=None, inhibition=None,
+            overlap=None, proximal_update=None) -> tuple[SPState, SPOutput]:
     """One SP timestep for a single stream. `learning` is jit-static.
 
     `boosting` / `inhibition` are optional component hooks mirroring the
@@ -48,9 +48,21 @@ def sp_step(cfg: SPConfig, state: SPState, input_bits: jnp.ndarray,
       boosting(cfg, overlaps (C,) i32, duty_cycle (C,) f32) -> (C,) f32
       inhibition(cfg, boosted (C,) f32) -> ((A,) i32 cols, (C,) bool mask)
 
-    None selects the reference-default exponential boosting / global
-    top-k inhibition. Hooks must be jit-traceable (static callables)."""
-    ov = _overlaps(state.connected, input_bits)
+    `overlap` / `proximal_update` together substitute the proximal
+    projection (the reference's `proximal_projection=`,
+    `networks.py:16,22` — its `DenseProjection.process/update`,
+    `projections.py:18-24`):
+
+      overlap(cfg, state, input_bits (I,) bool) -> (C,) overlaps
+      proximal_update(cfg, state, input_bits, active_columns (A,) i32)
+          -> (permanence, connected)  # replacement SPState tables
+
+    None selects the built-in popcount overlap / sparse-row Hebbian
+    update. Hooks must be jit-traceable (static callables)."""
+    if overlap is None:
+        ov = _overlaps(state.connected, input_bits)
+    else:
+        ov = overlap(cfg, state, input_bits)
     if boosting is None:
         boosted = boost(ov, state.duty_cycle, cfg.boosting_intensity,
                         cfg.density)
@@ -63,7 +75,10 @@ def sp_step(cfg: SPConfig, state: SPState, input_bits: jnp.ndarray,
 
     permanence = state.permanence
     connected = state.connected
-    if learning:
+    if learning and proximal_update is not None:
+        permanence, connected = proximal_update(cfg, state, input_bits,
+                                                active_columns)
+    elif learning:
         # Hebbian update on the k active rows only (`projections.py:23-24`):
         # delta = input * (inc + dec) - dec. Sparse row form: gather the
         # A active rows, update them, scatter rows + their re-packed

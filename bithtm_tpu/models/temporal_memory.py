@@ -685,6 +685,7 @@ def tm_step(
     col_active: jnp.ndarray | None = None,
     frozen_word: jnp.ndarray | None = None,
     serving_table=None,
+    distal_forward=None,
 ):
     """One TM timestep for a single stream.
 
@@ -735,6 +736,14 @@ def tm_step(
     if frozen_word is not None and learning:
         raise ValueError("frozen_word is an inference-only fast path; "
                          "learning mutates the tables it snapshots")
+    if distal_forward is not None and (
+            learning or frozen_word is not None or serving_table is not None):
+        raise ValueError(
+            "distal_forward substitutes the inference forward pass only "
+            "(the learning path fuses its forward into the punish/death "
+            "table kernel — substitute the whole step via the "
+            "temporal_memory= hook to change learning-mode semantics); "
+            "it also cannot combine with frozen_word/serving_table")
     if epsilon is not None and epsilon != cfg.epsilon:
         import dataclasses
 
@@ -840,16 +849,26 @@ def tm_step(
         perm_full = state.synapse_perm
         seg_cell = state.seg_cell
         learn_metrics = {}
-        if frozen_word is not None:
+        if distal_forward is not None:
+            # hook point for a custom distal forward rule (the
+            # reference's `distal_projection=` substitution,
+            # `networks.py:50-55`): returns the packed activity plus
+            # per-segment potential/connected counts; thresholding and
+            # prediction stay built-in.
+            act_now, potential, connected = distal_forward(
+                cfg, state, active_cols, act_bits
+            )
+        elif frozen_word is not None:
             act_now = synapse_activation_frozen(
                 frozen_word, active_cols, act_bits, D, K,
             )
+            potential, connected = seg_counts_packed(act_now, G, K)
         else:
             act_now = synapse_activation_conn(
                 syn_full, perm_full, active_cols, act_bits, D,
                 cfg.permanence_threshold, K,
             )
-        potential, connected = seg_counts_packed(act_now, G, K)  # (C, G)
+            potential, connected = seg_counts_packed(act_now, G, K)
         matching = potential >= cfg.segment_matching_threshold
         seg_active = matching & (
             connected >= cfg.segment_activation_threshold

@@ -27,18 +27,23 @@ from .models.temporal_memory import tm_step
 from .state import htm_init, sp_init, tm_init
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9, 10))
 def _jit_htm_step(cfg, state, x, learning, compute_winner,
-                  boosting, inhibition, temporal_memory):
+                  boosting, inhibition, temporal_memory,
+                  overlap, proximal_update, distal_forward):
     return htm_step(cfg, state, x, learning, compute_winner,
                     boosting=boosting, inhibition=inhibition,
-                    temporal_memory=temporal_memory)
+                    temporal_memory=temporal_memory,
+                    overlap=overlap, proximal_update=proximal_update,
+                    distal_forward=distal_forward)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
-def _jit_sp_step(cfg, state, x, learning, boosting, inhibition):
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
+def _jit_sp_step(cfg, state, x, learning, boosting, inhibition,
+                 overlap, proximal_update):
     return sp_step(cfg, state, x, learning,
-                   boosting=boosting, inhibition=inhibition)
+                   boosting=boosting, inhibition=inhibition,
+                   overlap=overlap, proximal_update=proximal_update)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
@@ -58,18 +63,22 @@ class SpatialPooler:
     functions)."""
 
     def __init__(self, input_dim, column_dim, active_columns, seed=0,
-                 boosting=None, inhibition=None, **overrides):
+                 boosting=None, inhibition=None, overlap=None,
+                 proximal_update=None, **overrides):
         self.config = SPConfig(input_dim=input_dim, column_dim=column_dim,
                                active_columns=active_columns, **overrides)
         self.active_columns = active_columns
         self.boosting = boosting
         self.inhibition = inhibition
+        self.overlap = overlap
+        self.proximal_update = proximal_update
         self.state = sp_init(jax.random.key(seed), self.config)
 
     def process(self, input_bits, learning=True):
         x = jnp.asarray(np.asarray(input_bits), jnp.bool_)
         self.state, out = _jit_sp_step(self.config, self.state, x, learning,
-                                       self.boosting, self.inhibition)
+                                       self.boosting, self.inhibition,
+                                       self.overlap, self.proximal_update)
         return out
 
 
@@ -115,7 +124,8 @@ class HierarchicalTemporalMemory:
 
     def __init__(self, input_dim, column_dim, cell_dim, active_columns=None,
                  seed=0, boosting=None, inhibition=None,
-                 temporal_memory=None, **tm_overrides):
+                 temporal_memory=None, overlap=None, proximal_update=None,
+                 distal_forward=None, **tm_overrides):
         self.config: HTMConfig = make_htm_config(
             input_dim, column_dim, cell_dim, active_columns, **tm_overrides
         )
@@ -125,6 +135,9 @@ class HierarchicalTemporalMemory:
         self.boosting = boosting
         self.inhibition = inhibition
         self.temporal_memory = temporal_memory
+        self.overlap = overlap
+        self.proximal_update = proximal_update
+        self.distal_forward = distal_forward
         self.state = htm_init(jax.random.key(seed), self.config)
 
     def process(self, input_bits, learning=True, return_winner_cell=True):
@@ -132,6 +145,7 @@ class HierarchicalTemporalMemory:
         self.state, out = _jit_htm_step(
             self.config, self.state, x, learning, return_winner_cell,
             self.boosting, self.inhibition, self.temporal_memory,
+            self.overlap, self.proximal_update, self.distal_forward,
         )
         self.last_metrics = {k: np.asarray(v) for k, v in out.metrics.items()}
         return out.sp, out.tm
