@@ -46,6 +46,9 @@ from .encoders import (
     anomaly_likelihood_update,
     anomaly_score,
     score_alert_windows,
+    seasonal_zscore,
+    seasonal_zscore_init,
+    seasonal_zscore_update,
 )
 from .models.stack import (
     StackConfig,
@@ -78,6 +81,7 @@ __all__ = [
     "anomaly_likelihood_update",
     "anomaly_score",
     "alert_episodes", "score_alert_windows",
+    "seasonal_zscore", "seasonal_zscore_init", "seasonal_zscore_update",
     "ClassifierState", "classifier_init", "classifier_predict",
     "classifier_update", "bucketize", "bucket_value",
     "config_to_dict", "config_from_dict",

@@ -117,10 +117,11 @@ class TMConfig:
     growth_capacity: int = 0        # L: segments growing per step
                                     # (0 = auto: min(A*G, max(64,
                                     # roundup(2A, 8))) — a sublane axis)
-    punish_capacity: int = 0        # P: columns punished per step
-                                    # (0 = auto: min(C, max(48,
-                                    # roundup(A, 8))); see
-                                    # resolved_punish_capacity)
+    # NOTE: no punish capacity knob — punishment is unbounded, fused
+    # into the full-table kernel. A bounded P-row punishment scatter
+    # was built and measured in round 4 and rejected (the P=48-row
+    # scatter alone cost more than the fusion saved; see
+    # docs/PERFORMANCE.md "Tried and rejected").
 
     # Distal permanence dynamics (projections.py:205-219).
     permanence_initial: float = 0.21
@@ -178,10 +179,9 @@ class TMConfig:
                 self.segment_sampling_synapses <= 0:
             raise ValueError("synapse_capacity and "
                              "segment_sampling_synapses must be positive")
-        if self.winner_capacity < 0 or self.growth_capacity < 0 \
-                or self.punish_capacity < 0:
-            raise ValueError("winner_capacity/growth_capacity/"
-                             "punish_capacity must be >= 0 (0 = auto)")
+        if self.winner_capacity < 0 or self.growth_capacity < 0:
+            raise ValueError("winner_capacity/growth_capacity "
+                             "must be >= 0 (0 = auto)")
         if self.synapse_capacity < self.segment_sampling_synapses:
             # legal in principle (growth clips to free slots) but almost
             # certainly a mistake: a fresh segment could never reach the
@@ -270,27 +270,6 @@ class TMConfig:
         return min(self.active_columns * self.segments_per_column,
                    max(64, _round_up(mult * self.active_columns // 2, 8)))
 
-    @property
-    def resolved_punish_capacity(self) -> int:
-        """Static width P of a per-step punished-column list — reserved.
-
-        A row-space punishment pass over at most P gathered rows (the
-        punished set is the step's misprediction signal: mean 3.7 /
-        p99 11 / max 19 columns over a 2048-step x 64-stream chip soak
-        at A=41) was built and measured in round 4 and REJECTED: the
-        P=48-row scatter alone cost 1.15 ms/step at B=256 — more than
-        the 1.05 ms the fused table kernel saved by going read-only —
-        because XLA row scatters pay ~80-95 ns/row regardless of
-        content (docs/PERFORMANCE.md "Tried and rejected"). Punishment
-        stays fused in the full-table kernel (unbounded — no column is
-        ever dropped); this capacity is kept for hardware where the
-        scatter/bandwidth balance differs."""
-        if self.punish_capacity:
-            return self.punish_capacity
-        return min(self.column_dim,
-                   max(48, _round_up(self.active_columns, 8)))
-
-
 @dataclasses.dataclass(frozen=True)
 class HTMConfig:
     sp: SPConfig
@@ -341,7 +320,10 @@ def config_to_dict(cfg: HTMConfig) -> dict:
 
 def config_from_dict(d: dict) -> HTMConfig:
     """Inverse of `config_to_dict`."""
-    return HTMConfig(sp=SPConfig(**d["sp"]), tm=TMConfig(**d["tm"]))
+    tm = dict(d["tm"])
+    # removed knob (round 5): old serialized configs may still carry it
+    tm.pop("punish_capacity", None)
+    return HTMConfig(sp=SPConfig(**d["sp"]), tm=TMConfig(**tm))
 
 
 def make_htm_config(

@@ -220,6 +220,95 @@ def anomaly_likelihood_update(
     )
 
 
+# ---- windowed z-score residual stage (pre-encoder / side detector) -----
+# The likelihood post-processor fails in two measured ways
+# (docs/PERFORMANCE.md "Anomaly benchmark"): chronic input noise widens
+# the running score Gaussian until a one-step spike can't reach the
+# tail, and continuous drift shifts the score distribution the same
+# way. The standard NAB-era mitigation is a seasonal-residual windowed
+# z-score stage: r[t] = v[t] - v[t - period] cancels both seasonality
+# and slow drift, and a causal windowed z-score of r flags point/level
+# anomalies that the score-distribution path absorbs. Use it in front
+# of the encoder (as an extra input channel) and/or as a side detector
+# union-ed with the likelihood alerts (`examples/anomaly_benchmark.py`
+# does the latter).
+
+
+class SeasonalZScoreState(NamedTuple):
+    lag: jnp.ndarray    # (lags * period,) ring of raw values
+    resid: jnp.ndarray  # (window,) ring of residuals
+    pos: jnp.ndarray    # () int32 step counter
+
+
+def seasonal_zscore_init(period: int, window: int = 96,
+                         lags: int = 3) -> SeasonalZScoreState:
+    if lags < 1 or lags % 2 == 0:
+        raise ValueError(f"lags must be odd >= 1, got {lags} (the "
+                         f"seasonal baseline is a median over lags)")
+    return SeasonalZScoreState(
+        lag=jnp.zeros((lags * period,), jnp.float32),
+        resid=jnp.zeros((window,), jnp.float32),
+        pos=jnp.zeros((), jnp.int32),
+    )
+
+
+def seasonal_zscore_update(
+    state: SeasonalZScoreState, value, period: int,
+    eps: float = 1e-6,
+) -> tuple[SeasonalZScoreState, jnp.ndarray]:
+    """Streaming form of `seasonal_zscore`: push one value, get its z.
+
+    The seasonal baseline is the MEDIAN of the last `lags` same-phase
+    values (``v[t - period], v[t - 2*period], ...``): a single
+    anomalous cycle cannot move it, which kills the "seasonal echo"
+    false alert one period after a spike that a plain
+    ``v[t] - v[t - period]`` residual produces. Rides inside
+    `lax.scan` next to the model step like `anomaly_likelihood_update`.
+    """
+    L = state.lag.shape[0]
+    W = state.resid.shape[0]
+    k = L // period
+    v = jnp.asarray(value, jnp.float32)
+    t = state.pos
+    seas = jnp.stack([state.lag[(t - (i + 1) * period) % L]
+                      for i in range(k)])
+    r = jnp.where(t >= L, v - jnp.median(seas), 0.0)
+    # stats over the current ring BEFORE inserting r (ages 1..window)
+    n = jnp.clip(t, 1, W).astype(jnp.float32)
+    live = jnp.arange(W) < jnp.minimum(t, W)
+    s1 = jnp.where(live, state.resid, 0.0).sum()
+    s2 = jnp.where(live, state.resid * state.resid, 0.0).sum()
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, eps)
+    z = jnp.where(t >= L + W, (r - mean) / jnp.sqrt(var), 0.0)
+    return SeasonalZScoreState(
+        lag=state.lag.at[t % L].set(v),
+        resid=state.resid.at[t % W].set(r),
+        pos=t + 1,
+    ), z
+
+
+def seasonal_zscore(values, period: int, window: int = 96,
+                    lags: int = 3, eps: float = 1e-6) -> jnp.ndarray:
+    """Causal windowed z-score of the seasonal residual, whole-array.
+
+    ``r[t] = v[t] - median(v[t - period], ..., v[t - lags*period])``;
+    ``z[t]`` standardizes ``r[t]`` against the mean/std of the
+    PRECEDING ``window`` residuals (excluding ``r[t]`` itself, so a
+    spike cannot deflate its own z). The first
+    ``lags * period + window`` steps emit 0 (insufficient history).
+    Implemented as a `lax.scan` of `seasonal_zscore_update`, so the
+    streaming form is bit-identical by construction. Jittable.
+    """
+    v = jnp.asarray(values, jnp.float32)
+
+    def f(st, x):
+        return seasonal_zscore_update(st, x, period, eps)
+
+    _, z = jax.lax.scan(f, seasonal_zscore_init(period, window, lags), v)
+    return z
+
+
 # ---- alerting + task-level scoring (host-side, NAB protocol) -----------
 # Turning a likelihood stream into discrete alerts and scoring them
 # against labeled anomaly windows is the last mile of the NAB protocol.

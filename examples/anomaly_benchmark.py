@@ -113,6 +113,13 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--seeds", type=int, default=3)
     p.add_argument("--alert_nlog10", type=float, default=2.0)
+    p.add_argument("--z_alert", type=float, default=5.0,
+                   help="side-detector threshold on |seasonal windowed "
+                        "z-score| (the round-4 failure-mode mitigation: "
+                        "noise/drift flood the likelihood model's score "
+                        "distribution, the residual stage is immune to "
+                        "both); 0 disables the stage")
+    p.add_argument("--z_window", type=int, default=4 * PERIOD)
     p.add_argument("--tasks", default=",".join(TASKS))
     args = p.parse_args()
 
@@ -132,6 +139,7 @@ def main():
         htm_scan,
         make_htm_config,
         score_alert_windows,
+        seasonal_zscore,
     )
     from bithtm_tpu.encoders import concat
 
@@ -172,9 +180,17 @@ def main():
             raw = jnp.asarray(metrics["anomaly"], jnp.float32)
             nlog = -np.log10(np.maximum(
                 1.0 - np.asarray(likelihoods(raw)), 1e-12))
+            fire = nlog >= args.alert_nlog10
+            if args.z_alert > 0:
+                # seasonal-residual windowed z-score side detector:
+                # catches the point/level anomalies that chronic noise
+                # or drift hide from the likelihood model (the round-4
+                # measured failure modes)
+                z = np.asarray(seasonal_zscore(
+                    jnp.asarray(values), PERIOD, window=args.z_window))
+                fire = fire | (np.abs(z) >= args.z_alert)
             detect = np.flatnonzero(
-                (nlog >= args.alert_nlog10)
-                & (np.arange(len(nlog)) >= probation))
+                fire & (np.arange(len(nlog)) >= probation))
             episodes = alert_episodes(detect, merge_gap=PERIOD // 2)
             r = score_alert_windows(episodes, windows)
             r["fp_only"] = fp_only

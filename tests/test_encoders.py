@@ -171,3 +171,51 @@ def test_alert_episodes_and_window_scoring():
     r3 = score_alert_windows([], windows)
     assert (r3["tp"], r3["fp"], r3["fn"]) == (0, 0, 2)
     assert r3["f1"] == 0.0
+
+
+def test_seasonal_zscore_spike_no_echo_and_drift_immune():
+    """The windowed z-score residual stage (round-4 failure-mode
+    mitigation): fires on a point spike buried in noise, does NOT fire
+    one period later (the median-of-lags baseline kills the seasonal
+    echo), and is immune to slow linear drift."""
+    from bithtm_tpu import seasonal_zscore
+
+    P, T = 24, 1200
+    t = np.arange(T)
+    rng = np.random.RandomState(0)
+    v = np.sin(2 * np.pi * t / P) + rng.normal(0, 0.12, T) \
+        + np.linspace(0, 0.6, T)  # noise + drift, like the bench tasks
+    at = 40 * P + P // 2
+    v[at] = 1.9
+    z = np.asarray(seasonal_zscore(jnp.asarray(v), P, window=4 * P))
+    assert abs(z[at]) >= 5.0, z[at]
+    # no seasonal echo: the next two same-phase steps stay quiet
+    assert abs(z[at + P]) < 5.0 and abs(z[at + 2 * P]) < 5.0
+    # drift + noise alone never cross the alert threshold
+    rest = np.abs(np.delete(z, at))
+    assert rest.max() < 5.0, rest.max()
+
+
+def test_seasonal_zscore_streaming_matches_array_and_gates():
+    from bithtm_tpu import (seasonal_zscore, seasonal_zscore_init,
+                            seasonal_zscore_update)
+
+    P, W, T = 12, 36, 300
+    rng = np.random.RandomState(3)
+    v = np.sin(2 * np.pi * np.arange(T) / P) + rng.normal(0, 0.1, T)
+    z_arr = np.asarray(seasonal_zscore(jnp.asarray(v), P, window=W))
+    st = seasonal_zscore_init(P, window=W)
+    z_stream = []
+    for x in v:
+        st, z = seasonal_zscore_update(st, x, P)
+        z_stream.append(float(z))
+    np.testing.assert_allclose(z_arr, np.asarray(z_stream), rtol=1e-5,
+                               atol=1e-5)
+    # gate: no output before lags*period + window history exists
+    assert (z_arr[: 3 * P + W] == 0).all()
+    assert (z_arr[3 * P + W:] != 0).any()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="odd"):
+        seasonal_zscore_init(P, window=W, lags=2)
