@@ -30,8 +30,9 @@ from .state import (
     sp_init,
     tm_init,
 )
-from .models.htm import (HTMOutput, htm_scan, htm_serve_scan,
-                         htm_step, htm_step_batch, resume_learning)
+from .models.htm import (HTMOutput, htm_scan, htm_scan_autocap,
+                         htm_serve_scan, htm_step, htm_step_batch,
+                         resume_learning)
 from .models.spatial_pooler import SPOutput, sp_step
 from .models.temporal_memory import TMOutput, tm_resume, tm_step
 from .host_hooks import HostTemporalMemory
@@ -71,8 +72,8 @@ __all__ = [
     "HTMConfig", "SPConfig", "TMConfig", "make_htm_config", "make_tm_config",
     "HTMState", "SPState", "TMState",
     "htm_init", "htm_init_batch", "sp_init", "tm_init",
-    "htm_step", "htm_step_batch", "htm_scan", "htm_serve_scan",
-    "resume_learning", "HTMOutput",
+    "htm_step", "htm_step_batch", "htm_scan", "htm_scan_autocap",
+    "htm_serve_scan", "resume_learning", "HTMOutput",
     "sp_step", "SPOutput", "tm_step", "tm_resume", "TMOutput",
     "HierarchicalTemporalMemory", "SpatialPooler", "TemporalMemory",
     "HostTemporalMemory",

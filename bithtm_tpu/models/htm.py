@@ -218,6 +218,87 @@ def htm_scan(cfg: HTMConfig, state: HTMState, inputs: jnp.ndarray,
                       compute_winner, detailed_metrics)
 
 
+CAP_DROP_METRICS = ("tm_dropped_winner_candidates",
+                    "tm_dropped_growth_segments")
+
+
+def htm_scan_autocap(cfg: HTMConfig, state: HTMState, inputs,
+                     *, tuned: dict, safe: dict | None = None,
+                     chunk: int = 256, learning: bool = True,
+                     unroll: int = 0, compute_winner: bool = True,
+                     detailed_metrics: bool = False):
+    """Chunked `htm_scan` under TUNED capacity caps, auto-widening on
+    the first counted cap drop — the "bank the tuned-cap speed safely"
+    mode (round-4 VERDICT #5).
+
+    The winner/growth list widths (`winner_capacity` /
+    `growth_capacity`) are per-step scratch, not state: a config with
+    different caps resumes from the SAME state pytree
+    (`tests/test_pool_pressure.py::test_growth_cap_drop_mitigation`).
+    This runs the scan in ``chunk``-step dispatches with the ``tuned``
+    overrides (measured faster at large A, where the growth sort rides
+    the cap width), snapshotting the carry before each chunk; if a
+    chunk counts ANY winner/growth cap drop (`CAP_DROP_METRICS`), the
+    snapshot is restored, the config escalates to the ``safe``
+    overrides (default: the config's own auto caps), and the SAME chunk
+    re-runs — so the produced trajectory is guaranteed drop-free on
+    those counters, while fast-as-tuned up to the escalation point.
+    Chunked dispatch is also the tunnel-stability discipline the 16K
+    soaks need (CLAUDE.md: keep dispatches <= 512 steps).
+
+    Returns ``(state, metrics, info)``: metrics are host np arrays
+    concatenated over chunks ([T]-leading, like `htm_scan`); ``info``
+    has ``escalated_at_step`` (None if the tuned caps held),
+    ``tuned_drops`` (the counted drops that triggered escalation —
+    observed on the discarded chunk, absent from the trajectory), and
+    ``chunks``.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    def with_caps(overrides):
+        return dataclasses.replace(
+            cfg, tm=dataclasses.replace(cfg.tm, **overrides))
+
+    cfg_tuned = with_caps(tuned)
+    cfg_safe = with_caps(safe or {})
+    T = inputs.shape[0]
+    out_metrics: dict[str, list] = {}
+    active_cfg = cfg_tuned
+    escalated_at = None
+    tuned_drops = 0
+    n_chunks = 0
+    t0 = 0
+    while t0 < T:
+        xs = inputs[t0:t0 + chunk]
+        saved = (jax.tree.map(jnp.copy, state)
+                 if active_cfg is cfg_tuned else None)
+        new_state, m = htm_scan(active_cfg, state, xs, learning, unroll,
+                                compute_winner, detailed_metrics)
+        if active_cfg is cfg_tuned:
+            drops = sum(int(np.asarray(m[k]).sum())
+                        for k in CAP_DROP_METRICS if k in m)
+            if drops:
+                # discard the dropping chunk, re-run it under safe caps
+                tuned_drops = drops
+                escalated_at = t0
+                active_cfg = cfg_safe
+                state = saved
+                new_state, m = htm_scan(active_cfg, state, xs, learning,
+                                        unroll, compute_winner,
+                                        detailed_metrics)
+        state = new_state
+        for k, v in m.items():
+            out_metrics.setdefault(k, []).append(np.asarray(v))
+        n_chunks += 1
+        t0 += chunk
+    metrics = {k: np.concatenate(v) for k, v in out_metrics.items()}
+    info = {"escalated_at_step": escalated_at,
+            "tuned_drops": tuned_drops, "chunks": n_chunks}
+    return state, metrics, info
+
+
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
 def resume_learning(cfg: HTMConfig, state: HTMState) -> HTMState:
     """Make a compact-serving state safe to learn from again.

@@ -24,15 +24,25 @@ exercises:
                  positive
 
 Scoring is window-level precision / recall / F1 over --seeds runs
-(alert = likelihood >= 0.99 after probation, episodes merged at half a
-period), matching `examples/anomaly_detection.py`. The two *_fp tasks
-report false-positive counts (there is nothing to recall).
+(alert = likelihood >= 0.99999, the NAB standard threshold, OR
+|seasonal windowed z-score| >= 5 — the round-5 residual side detector
+— after probation; episodes merged at half a period), matching
+`examples/anomaly_detection.py`. The two *_fp tasks report
+false-positive counts (there is nothing to recall).
 
-Context for the absolute numbers: HTM-class detectors score ~0.7 on the
-NAB standard profile — the pipeline is expected to score WELL BELOW 1.0
-on the hard tasks here; this suite exists to measure where it degrades,
-not to pass. Run: python examples/anomaly_benchmark.py [--cpu]
-[--seeds N] [--tasks spike,clean_fp,...]
+History: round 4 ran likelihood-only at the permissive 0.99 threshold
+and honestly scored F1 0.00 on noisy_spike / drift_fp with a 3-5-alert
+clean-trace FP floor — chronic noise and drift flood the likelihood
+model's own score distribution (docs/PERFORMANCE.md "Anomaly
+benchmark"). The round-5 `seasonal_zscore` stage (median-of-lags
+residual, windowed z) is immune to both failure modes and carries the
+point/level anomalies, which lets the likelihood threshold rise to the
+NAB standard: measured at 3 seeds, every scoreable task is F1 1.00
+with ZERO clean-trace FPs (ablations in PERFORMANCE.md). This suite
+remains adversarial against the likelihood-only path (run
+`--z_alert 0` to reproduce the round-4 failures).
+Run: python examples/anomaly_benchmark.py [--cpu] [--seeds N]
+[--tasks spike,clean_fp,...]
 """
 
 import argparse
@@ -112,7 +122,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--seeds", type=int, default=3)
-    p.add_argument("--alert_nlog10", type=float, default=2.0)
+    p.add_argument("--alert_nlog10", type=float, default=5.0,
+                   help="likelihood alert threshold as -log10(1 - L); "
+                        "5.0 = the NAB standard 0.99999 (viable since "
+                        "the z-stage carries the point/level anomalies "
+                        "that needed the old permissive 2.0)")
     p.add_argument("--z_alert", type=float, default=5.0,
                    help="side-detector threshold on |seasonal windowed "
                         "z-score| (the round-4 failure-mode mitigation: "

@@ -76,12 +76,14 @@ def main():
     # on an already-committed array and report both raw and
     # read-adjusted ms/step (at T=2048 the difference is ~0.05 ms/step,
     # ~10% of the figure this study attributes).
-    _probe = jnp.zeros((), jnp.int32) + 1
-    _ = float(np.asarray(_probe))
+    # NB: must read a FRESH tiny dispatch each probe — re-reading an
+    # already-fetched buffer hits the host-side cache and measures 0.
+    _base = jnp.zeros((), jnp.int32)
+    _ = float(np.asarray(_base + 1))
     _reads = []
-    for _ in range(3):
+    for _i in range(3):
         _t0 = time.time()
-        _ = float(np.asarray(_probe))
+        _ = float(np.asarray(_base + jnp.int32(2 + _i)))
         _reads.append(time.time() - _t0)
     read_s = min(_reads)
     print(f"# fixed per-dispatch host-read cost: {read_s * 1e3:.0f} ms",

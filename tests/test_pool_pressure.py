@@ -172,3 +172,81 @@ def test_growth_cap_drop_mitigation():
     # and learning actually proceeds: the repeating patterns predict
     pred = prediction_dense_host(state.prediction, D)
     assert pred.any(), "no predictions formed after widening L"
+
+
+def test_htm_scan_autocap_escalates_and_stays_dropfree():
+    """`htm_scan_autocap` (round-4 VERDICT #5): starts under tight
+    tuned caps, counts the first winner/growth cap drop, re-runs that
+    chunk under the safe caps — so the produced trajectory is
+    drop-free on the cap counters and bit-equal to manually switching
+    configs at the escalation point."""
+    from bithtm_tpu import htm_init, htm_scan, make_htm_config
+    from bithtm_tpu.models.htm import htm_scan_autocap
+
+    import dataclasses
+
+    cfg = make_htm_config(
+        input_dim=128, column_dim=96, cell_dim=8, active_columns=24,
+        segments_per_column=4, synapse_capacity=16,
+        segment_activation_threshold=3, segment_matching_threshold=3,
+        segment_sampling_synapses=6,
+    )
+    tuned = dict(growth_capacity=8)   # bootstrap allocates ~A=24 -> drops
+    rng = np.random.RandomState(5)
+    pats = rng.rand(4, 128) < 0.2
+    seq = jnp.asarray(pats[np.arange(24) % 4])
+
+    state, metrics, info = htm_scan_autocap(
+        cfg, htm_init(jax.random.key(0), cfg), seq,
+        tuned=tuned, chunk=4, unroll=1)
+
+    assert info["escalated_at_step"] is not None
+    assert info["tuned_drops"] > 0
+    # the produced trajectory never dropped on the tuned counters
+    assert metrics["tm_dropped_growth_segments"].sum() == 0
+    assert metrics["tm_dropped_winner_candidates"].sum() == 0
+
+    # bit-equal to manually switching configs at the escalation point
+    esc = info["escalated_at_step"]
+    cfg_tuned = dataclasses.replace(
+        cfg, tm=dataclasses.replace(cfg.tm, **tuned))
+    ctrl = htm_init(jax.random.key(0), cfg)
+    if esc > 0:
+        ctrl, _ = htm_scan(cfg_tuned, ctrl, seq[:esc], True, 1)
+    ctrl, _ = htm_scan(cfg, ctrl, seq[esc:], True, 1)
+    for name in ("synapse_cell", "synapse_perm", "seg_cell",
+                 "prediction", "matching_word", "step"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(state.tm, name)),
+            np.asarray(getattr(ctrl.tm, name)), err_msg=name)
+
+
+def test_htm_scan_autocap_no_escalation_when_caps_hold():
+    """Wide tuned caps that never drop: no escalation, trajectory
+    bit-equal to a plain tuned-caps scan."""
+    from bithtm_tpu import htm_init, htm_scan, make_htm_config
+    from bithtm_tpu.models.htm import htm_scan_autocap
+
+    import dataclasses
+
+    cfg = make_htm_config(
+        input_dim=128, column_dim=96, cell_dim=8, active_columns=24,
+        segments_per_column=4, synapse_capacity=16,
+        segment_activation_threshold=3, segment_matching_threshold=3,
+        segment_sampling_synapses=6,
+    )
+    tuned = dict(growth_capacity=96)
+    rng = np.random.RandomState(6)
+    pats = rng.rand(4, 128) < 0.2
+    seq = jnp.asarray(pats[np.arange(12) % 4])
+    state, metrics, info = htm_scan_autocap(
+        cfg, htm_init(jax.random.key(1), cfg), seq,
+        tuned=tuned, chunk=5, unroll=1)
+    assert info["escalated_at_step"] is None and info["chunks"] == 3
+
+    cfg_tuned = dataclasses.replace(
+        cfg, tm=dataclasses.replace(cfg.tm, **tuned))
+    ctrl, _ = htm_scan(cfg_tuned, htm_init(jax.random.key(1), cfg),
+                       seq, True, 1)
+    np.testing.assert_array_equal(np.asarray(state.tm.synapse_perm),
+                                  np.asarray(ctrl.tm.synapse_perm))
