@@ -34,7 +34,8 @@ from .models.htm import (HTMOutput, htm_scan, htm_scan_autocap,
                          htm_serve_scan, htm_step, htm_step_batch,
                          resume_learning)
 from .models.spatial_pooler import SPOutput, sp_step
-from .models.temporal_memory import TMOutput, tm_resume, tm_step
+from .models.temporal_memory import (TMOutput, tm_resume,
+                                     tm_segment_observables, tm_step)
 from .host_hooks import HostTemporalMemory
 from .networks import HierarchicalTemporalMemory, SpatialPooler, TemporalMemory
 from .encoders import (
@@ -74,7 +75,8 @@ __all__ = [
     "htm_init", "htm_init_batch", "sp_init", "tm_init",
     "htm_step", "htm_step_batch", "htm_scan", "htm_scan_autocap",
     "htm_serve_scan", "resume_learning", "HTMOutput",
-    "sp_step", "SPOutput", "tm_step", "tm_resume", "TMOutput",
+    "sp_step", "SPOutput", "tm_step", "tm_resume",
+    "tm_segment_observables", "TMOutput",
     "HierarchicalTemporalMemory", "SpatialPooler", "TemporalMemory",
     "HostTemporalMemory",
     "ScalarEncoder", "CyclicEncoder", "CategoryEncoder", "DateTimeEncoder",

@@ -643,6 +643,44 @@ def _learn(cfg: TMConfig, state: TMState, key: jax.Array,
     return syn_full, perm_full, seg_cell, metrics, debug
 
 
+def tm_segment_observables(cfg: TMConfig, state: TMState) -> dict:
+    """Per-segment forward observables off a post-step state.
+
+    The reference returns the distal state's `segment_potential` /
+    `matching_segment` / `matching_segment_activation` to callers
+    (`projections.py:195-203`); the rebuild's step outputs carry
+    cell-level masks only (the (C, G) per-segment arrays tile-pad
+    16-32x if carried through the scan). This decodes them on demand
+    from the packed activity the forward pass cached: for each segment,
+    the potential (active) and connected-active synapse counts wrt the
+    PREVIOUS step's active cells — exactly the values the last forward
+    pass computed — plus the derived matching / active masks
+    (`projections.py:245-251` thresholds). Works on single-stream and
+    batched (leading-axis) states; cheap (one packed-count decode), not
+    part of the hot path.
+
+    Returns ``{"potential", "connected_active", "matching", "active"}``
+    as (..., C, G) arrays.
+    """
+    G, K = cfg.segments_per_column, cfg.synapse_capacity
+
+    def one(act):
+        return seg_counts_packed(act, G, K)
+
+    if state.synapse_act.ndim == 3:
+        potential, connected = jax.vmap(one)(state.synapse_act)
+    else:
+        potential, connected = one(state.synapse_act)
+    matching = potential >= cfg.segment_matching_threshold
+    active = matching & (connected >= cfg.segment_activation_threshold)
+    return {
+        "potential": potential,
+        "connected_active": connected,
+        "matching": matching,
+        "active": active,
+    }
+
+
 def tm_resume(cfg: TMConfig, state: TMState) -> TMState:
     """Re-derive the carries a compact-serving scan leaves stale.
 

@@ -66,6 +66,9 @@ def main():
     p.add_argument("--active", type=int, default=41)
     p.add_argument("--segments", type=int, default=4)
     p.add_argument("--synapses", type=int, default=64)
+    p.add_argument("--blocks", type=str, default="",
+                   help="comma list overriding the per-matcher block "
+                        "sweeps (e.g. 512,1024,2048)")
     args = p.parse_args()
     C, D, A, B = args.column_dim, args.cell_dim, args.active, args.batch
     G, K = args.segments, args.synapses
@@ -91,12 +94,15 @@ def main():
 
     saved = pk.HASH_MAX_ACTIVE
     try:
+        override = tuple(int(b) for b in args.blocks.split(",") if b)
         for name, hmax, blocks in (
             ("chain", 0 if A < pk.BISECT_MIN_ACTIVE else -1, (64, 128, 256)),
             ("hash", 10 ** 9, (64, 128, 256, 512)),
         ):
             if hmax < 0:
                 continue
+            if override:
+                blocks = override
             pk.HASH_MAX_ACTIVE = hmax
             for blk in blocks:
                 if C % blk:

@@ -255,3 +255,62 @@ def test_frozen_word_step_bit_equals_unpacked():
                                           err_msg=k)
     np.testing.assert_array_equal(np.asarray(s1.tm.synapse_act),
                                   np.asarray(s2.tm.synapse_act))
+
+
+def test_tm_segment_observables_match_naive_and_carry():
+    """`tm_segment_observables` (the reference's per-segment forward
+    observables, `projections.py:195-203`) decodes the packed activity
+    into exact per-segment counts: validated against a naive NumPy
+    count over the previous active set, and its matching mask must
+    equal the carried matching_word bit for bit."""
+    from bithtm_tpu import (htm_init, htm_scan, make_htm_config,
+                            tm_segment_observables)
+
+    cfg = make_htm_config(
+        input_dim=64, column_dim=64, cell_dim=4, active_columns=4,
+        segment_activation_threshold=2, segment_matching_threshold=2,
+        segment_sampling_synapses=8,
+    )
+    rng = np.random.RandomState(11)
+    pats = rng.rand(5, 64) < 0.2
+    state = htm_init(jax.random.key(2), cfg)
+    state, _ = htm_scan(cfg, state, jnp.asarray(pats[np.arange(30) % 5]),
+                        True, 1)
+
+    obs = tm_segment_observables(cfg.tm, state.tm)
+    C, D = cfg.tm.column_dim, cfg.tm.cell_dim
+    G, K = cfg.tm.segments_per_column, cfg.tm.synapse_capacity
+    thr = cfg.tm.permanence_threshold
+
+    # previous step's active cells from the compact carry
+    cols = np.asarray(state.tm.active_cols)
+    bits = np.asarray(state.tm.active_bits)
+    active_cells = {
+        int(cols[a]) * D + d
+        for a in range(len(cols)) for d in range(D)
+        if bits[a, d // 32] >> (d % 32) & 1
+    }
+    syn = np.asarray(state.tm.synapse_cell)
+    perm = np.asarray(state.tm.synapse_perm)
+    pot = np.zeros((C, G), np.int32)
+    conn = np.zeros((C, G), np.int32)
+    for c in range(C):
+        for j in range(G * K):
+            if perm[c, j] >= 0 and int(syn[c, j]) in active_cells:
+                pot[c, j // K] += 1
+                if perm[c, j] >= thr:
+                    conn[c, j // K] += 1
+    np.testing.assert_array_equal(np.asarray(obs["potential"]), pot)
+    np.testing.assert_array_equal(np.asarray(obs["connected_active"]),
+                                  conn)
+    assert np.asarray(obs["matching"]).any()  # non-degenerate state
+    # matching mask == the carried packed matching_word
+    mw = np.asarray(state.tm.matching_word)
+    want = ((mw[:, None] >> np.arange(G)[None, :]) & 1) != 0
+    np.testing.assert_array_equal(np.asarray(obs["matching"]), want)
+
+    # batched states decode too (leading axis)
+    from bithtm_tpu import htm_init_batch
+    bstate = htm_init_batch(jax.random.key(0), cfg, 3)
+    bobs = tm_segment_observables(cfg.tm, bstate.tm)
+    assert bobs["potential"].shape == (3, C, G)
