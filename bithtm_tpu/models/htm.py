@@ -226,7 +226,7 @@ def htm_scan_autocap(cfg: HTMConfig, state: HTMState, inputs,
                      *, tuned: dict, safe: dict | None = None,
                      chunk: int = 256, learning: bool = True,
                      unroll: int = 0, compute_winner: bool = True,
-                     detailed_metrics: bool = False):
+                     detailed_metrics: bool = False, on_chunk=None):
     """Chunked `htm_scan` under TUNED capacity caps, auto-widening on
     the first counted cap drop — the "bank the tuned-cap speed safely"
     mode (round-4 VERDICT #5).
@@ -251,9 +251,15 @@ def htm_scan_autocap(cfg: HTMConfig, state: HTMState, inputs,
     has ``escalated_at_step`` (None if the tuned caps held),
     ``tuned_drops`` (the counted drops that triggered escalation —
     observed on the discarded chunk, absent from the trajectory), and
-    ``chunks``.
+    ``chunks``. While tuned, the per-chunk drop check host-reads ONE
+    scalar (the summed cap counters) — on the axon tunnel every host
+    read costs ~100 ms, so reading the full metric dict per chunk
+    would dominate a soak; the full metrics transfer once at the end.
+    ``on_chunk(start_step, seconds, escalated, drops)`` is called
+    after each produced chunk (soak timing hook).
     """
     import dataclasses
+    import time
 
     import numpy as np
 
@@ -272,28 +278,38 @@ def htm_scan_autocap(cfg: HTMConfig, state: HTMState, inputs,
     t0 = 0
     while t0 < T:
         xs = inputs[t0:t0 + chunk]
+        wall0 = time.perf_counter()
         saved = (jax.tree.map(jnp.copy, state)
                  if active_cfg is cfg_tuned else None)
         new_state, m = htm_scan(active_cfg, state, xs, learning, unroll,
                                 compute_winner, detailed_metrics)
+        escalated_now = False
         if active_cfg is cfg_tuned:
-            drops = sum(int(np.asarray(m[k]).sum())
-                        for k in CAP_DROP_METRICS if k in m)
+            drops = int(jax.device_get(sum(
+                m[k].sum() for k in CAP_DROP_METRICS if k in m)))
             if drops:
                 # discard the dropping chunk, re-run it under safe caps
                 tuned_drops = drops
                 escalated_at = t0
+                escalated_now = True
                 active_cfg = cfg_safe
                 state = saved
                 new_state, m = htm_scan(active_cfg, state, xs, learning,
                                         unroll, compute_winner,
                                         detailed_metrics)
+        else:
+            drops = 0
         state = new_state
         for k, v in m.items():
-            out_metrics.setdefault(k, []).append(np.asarray(v))
+            out_metrics.setdefault(k, []).append(v)
         n_chunks += 1
+        if on_chunk is not None:
+            jax.block_until_ready(state)
+            on_chunk(t0, time.perf_counter() - wall0, escalated_now,
+                     drops)
         t0 += chunk
-    metrics = {k: np.concatenate(v) for k, v in out_metrics.items()}
+    metrics = {k: np.concatenate([np.asarray(x) for x in v])
+               for k, v in out_metrics.items()}
     info = {"escalated_at_step": escalated_at,
             "tuned_drops": tuned_drops, "chunks": n_chunks}
     return state, metrics, info
