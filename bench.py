@@ -106,6 +106,14 @@ def main():
                         "(tm_pool_occupancy etc.) in every step; off by "
                         "default — the serving loop keeps the driver "
                         "observables and drop counters only")
+    p.add_argument("--winner_capacity", type=int, default=0,
+                   help="growth-candidate list width Wc (0 = auto); the "
+                        "measured-fast 16K point is 384 (with "
+                        "--growth_capacity 336, 1,906 steps/s vs 1,610 "
+                        "auto — adopt via htm_scan_autocap in production, "
+                        "which widens drop-free)")
+    p.add_argument("--growth_capacity", type=int, default=0,
+                   help="growing-segment list width L (0 = auto)")
     p.add_argument("--allocation_policy", default="evict",
                    choices=("reference", "evict"),
                    help="segment-pool allocation under pressure: "
@@ -155,6 +163,8 @@ def main():
         column_dim=args.column_dim,
         cell_dim=args.cell_dim,
         allocation_policy=args.allocation_policy,
+        winner_capacity=args.winner_capacity,
+        growth_capacity=args.growth_capacity,
         **stack_overrides,
     )
     print(f"# stack: {args.stack}", file=sys.stderr)
