@@ -298,7 +298,10 @@ def main():
                   file=sys.stderr, flush=True)
         return ok
 
-    if not bracket("pre"):
+    # generous: a COLD first dispatch on a healthy tunnel has measured
+    # 22-52 s (fresh-process connection + compile); only a true wedge
+    # should abort here
+    if not bracket("pre", timeout=240.0):
         print("# aborting: device unusable before benchmark started",
               file=sys.stderr, flush=True)
         os._exit(3)
