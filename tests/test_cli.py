@@ -57,7 +57,13 @@ def test_bench_modes_print_one_json_line(tmp_path):
     for extra in (["--mode", "sp"], ["--serve"]):
         r = run(["bench.py", "--cpu", "--batch", "2", "--steps", "4",
                  "--repeats", "1", *extra])
-        last = r.stdout.strip().splitlines()[-1]
-        rec = json.loads(last)
+        json_lines = [json.loads(l) for l in r.stdout.splitlines()
+                      if l.startswith("{")]
+        # wedge insurance: a provisional record after warmup AND a
+        # best-so-far after each repeat — the driver parses the LAST,
+        # but every earlier line must already be parseable
+        assert len(json_lines) >= 3, r.stdout
+        rec = json_lines[-1]
         assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
         assert rec["value"] > 0
+        assert all({"metric", "value"} <= set(j) for j in json_lines)
